@@ -1,0 +1,382 @@
+"""The wavefront path tracer: a jit-compatible bounded ray-queue bounce loop.
+
+This is the TPU-native re-design of the reference's flagship GLSL megakernel
+(``In-Next-Week/01_BoundingVolumeHierarchy/computeShaderSrc.glsl`` and its
+texturing/lights descendants).  The GPU kernel's per-thread float stack of
+(ray, contribution, bounce) records becomes a fixed-capacity per-lane ray
+QUEUE held in registers/VMEM as SoA arrays, processed LIFO by a
+``lax.scan`` of static trip count — no divergence, fully vectorized across
+the (pixel x sample) lane axis.
+
+Semantics reproduced (see file:line cites in the helpers):
+  - absorption shading: every processed ray adds ``contribution * albedo``;
+    each hit spawns up to two children (refract, reflect) and damps its own
+    contribution by ``1 - 0.5 * (spawned fractions)``,
+  - surrounding-refractive-index estimation by point-inclusion,
+  - deterministic sunflower/cone sample distributions (no RNG),
+  - per-sample motion-blur time, emissive "paint it white" lights with
+    AABB-targeted shadow rays, cube-sphere texturing,
+  - per-sample gamma-2 then mean over samples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from raytracing_tests_tpu.core import linalg, sampling
+from raytracing_tests_tpu.ops import intersect as isect
+from raytracing_tests_tpu.ops.camera_rays import primary_rays
+from raytracing_tests_tpu.scene import textures as tex
+from raytracing_tests_tpu.scene.types import Camera, Scene
+
+MAX_T_DEPTH = 32000.0  # reference 01_BVH glsl:364
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (trace-time) render parameters.
+
+    Replaces the reference's configuration-by-shader-source-rewriting
+    (``In-Next-Week/base.h:333-446``): here a config change is just a new jit
+    trace.
+    """
+
+    width: int = 128
+    height: int = 72
+    spp: int = 4  # samples per pixel (the reference's workgroup local size)
+    max_bounces: int = 5  # RT_Base default (base.h:310)
+    queue_capacity: int = 5  # 40-float stack / 8 floats per record (glsl:80)
+    max_pops: Optional[int] = None  # ray-tree budget; None -> 2*max_bounces + 1
+    t_max: float = MAX_T_DEPTH
+    gamma: float = 2.0
+    background: tuple = ((1.0, 1.0, 1.0), (0.3, 0.4, 1.0))  # bottom, top
+    enable_lights: bool = True
+    intersector: str = "brute"  # 'brute' | 'bvh'
+    show_normals: bool = False  # debug view (Sphere.cpp:54, groups.cpp:66)
+
+    @property
+    def pops(self) -> int:
+        return self.max_pops if self.max_pops is not None else 2 * self.max_bounces + 1
+
+
+@struct.dataclass
+class Lights:
+    """Static-shape emissive-object list (the reference's std430 lights SSBO,
+    ``lights.cpp:24-35``)."""
+
+    bb_min: jnp.ndarray  # (L, 3)
+    bb_max: jnp.ndarray  # (L, 3)
+    geom_idx: jnp.ndarray  # (L,) i32
+    mask: jnp.ndarray  # (L,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.geom_idx.shape[0]
+
+    @property
+    def count(self):
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+
+def extract_lights(scene: Scene, capacity: Optional[int] = None) -> Optional[Lights]:
+    """Host-side: collect emissive objects' AABBs into a padded Lights SoA.
+
+    Requires a concrete (non-traced) scene.  Returns None when the scene has
+    no emissives, which statically disables the shadow-ray pass.
+    """
+    emissive = np.asarray(scene.emissive) & np.asarray(scene.valid)
+    idx = np.nonzero(emissive)[0]
+    if idx.size == 0:
+        return None
+    cap = capacity or int(idx.size)
+    cap = max(cap, int(idx.size))
+    lo, hi = scene.world_aabbs()
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    bb_min = np.zeros((cap, 3), np.float32)
+    bb_max = np.zeros((cap, 3), np.float32)
+    geom = np.zeros((cap,), np.int32)
+    mask = np.zeros((cap,), bool)
+    bb_min[: idx.size] = lo[idx]
+    bb_max[: idx.size] = hi[idx]
+    geom[: idx.size] = idx
+    mask[: idx.size] = True
+    return Lights(
+        bb_min=jnp.asarray(bb_min),
+        bb_max=jnp.asarray(bb_max),
+        geom_idx=jnp.asarray(geom),
+        mask=jnp.asarray(mask),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Per-lane ray queue (SoA). LIFO, silently drops pushes when full — matching
+# the reference stack macros (01_BVH glsl:84-108).
+# ----------------------------------------------------------------------------
+
+
+@struct.dataclass
+class RayQueue:
+    origin: jnp.ndarray  # (B, Q, 3)
+    direction: jnp.ndarray  # (B, Q, 3)
+    contribution: jnp.ndarray  # (B, Q)
+    bounced: jnp.ndarray  # (B, Q) i32
+    size: jnp.ndarray  # (B,) i32
+
+    @classmethod
+    def create(cls, batch: int, capacity: int):
+        return cls(
+            origin=jnp.zeros((batch, capacity, 3), jnp.float32),
+            direction=jnp.zeros((batch, capacity, 3), jnp.float32),
+            contribution=jnp.zeros((batch, capacity), jnp.float32),
+            bounced=jnp.zeros((batch, capacity), jnp.int32),
+            size=jnp.zeros((batch,), jnp.int32),
+        )
+
+    def push(self, mask, origin, direction, contribution, bounced):
+        """Vectorized conditional push at position ``size`` for lanes in ``mask``."""
+        q = self.origin.shape[1]
+        can = mask & (self.size < q)
+        slot = jax.nn.one_hot(self.size, q, dtype=bool) & can[:, None]  # (B, Q)
+        return RayQueue(
+            origin=jnp.where(slot[..., None], origin[:, None, :], self.origin),
+            direction=jnp.where(slot[..., None], direction[:, None, :], self.direction),
+            contribution=jnp.where(slot, contribution[:, None], self.contribution),
+            bounced=jnp.where(slot, bounced[:, None], self.bounced),
+            size=self.size + can.astype(jnp.int32),
+        )
+
+    def pop(self):
+        """LIFO pop; lanes with empty queues return zeros and active=False."""
+        active = self.size > 0
+        idx = jnp.maximum(self.size - 1, 0)
+        sel = jax.nn.one_hot(idx, self.origin.shape[1], dtype=self.origin.dtype)  # (B, Q)
+        o = jnp.einsum("bq,bqc->bc", sel, self.origin)
+        d = jnp.einsum("bq,bqc->bc", sel, self.direction)
+        c = jnp.sum(sel * self.contribution, axis=1)
+        b = jnp.sum(sel * self.bounced.astype(sel.dtype), axis=1).astype(jnp.int32)
+        new = dataclasses.replace(self, size=self.size - active.astype(jnp.int32))
+        return new, active, o, d, c, b
+
+
+# ----------------------------------------------------------------------------
+# Shading
+# ----------------------------------------------------------------------------
+
+
+def _background(cfg: RenderConfig, direction, has_lights: bool):
+    """Sky gradient; black when the scene has lights (lights glsl:23-30)."""
+    if has_lights:
+        return jnp.zeros(direction.shape[:-1] + (3,), jnp.float32)
+    bottom = jnp.asarray(cfg.background[0], jnp.float32)
+    top = jnp.asarray(cfg.background[1], jnp.float32)
+    t = (direction[..., 1:2] + 1.0) * 0.5
+    return (1.0 - t) * bottom + t * top
+
+
+def _material_color(scene: Scene, hit: isect.Hit):
+    """Albedo, cube-sphere-textured when the object has a texture index
+    (03_Texturing glsl:353-414)."""
+    color = scene.color[hit.obj]
+    if scene.textures is None:
+        return color
+    ti = scene.texture_index[hit.obj]
+    face, u, v = tex.cube_sphere_uv(hit.local_pos)
+    tc = tex.sample_atlas(scene.textures, ti, face, u, v)
+    return jnp.where((ti > 0)[:, None], color * tc, color)
+
+
+def _shadow_factor(scene, lights: Lights, hit, normal, sample_ratio, time_ratio):
+    """Fraction of lights visible from the hit point (lights glsl:604-660).
+
+    Each lane aims at a per-sample point inside each light's AABB; a light
+    counts as visible when the nearest occluder IS the light object.
+    """
+    origin = hit + 1e-4 * normal
+
+    def one_light(is_lit, li):
+        bb_min, bb_max = lights.bb_min[li], lights.bb_max[li]
+        center = (bb_min + bb_max) * 0.5
+        target = bb_min + (bb_max - bb_min) * sample_ratio[:, None]
+        t_lim = linalg.norm(center - origin) + linalg.norm(bb_max - bb_min)
+        d = linalg.normalize(target - origin)
+        nearest = isect.occluded_nearest_obj(scene, origin, d, time_ratio, t_lim)
+        lit = scene.emissive[jnp.maximum(nearest, 0)] & (nearest >= 0)
+        return is_lit + jnp.where(lights.mask[li], lit.astype(jnp.float32), 0.0), None
+
+    is_lit, _ = jax.lax.scan(one_light, jnp.zeros(origin.shape[0]), jnp.arange(lights.capacity))
+    return is_lit / jnp.maximum(lights.count.astype(jnp.float32), 1.0)
+
+
+def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp, time_ratio):
+    """One wavefront step: pop LIFO top of every lane, intersect, shade, spawn."""
+    color, depth, done, primary_t = state
+    queue, active, o, d, contrib, bounced = queue.pop()
+    active = active & ~done
+
+    t_limit = jnp.full(o.shape[0], cfg.t_max, jnp.float32)
+    hit = isect.intersect_brute(scene, o, d, time_ratio, t_limit)
+    did_hit = hit.hit & active
+    missed = active & ~hit.hit
+
+    # Record primary-ray depth (bounce 0). The reference stores the mid
+    # sample's t (01_BVH glsl:655-657); we keep the primary hit t per sample.
+    is_primary = active & (bounced == 0)
+    primary_t = jnp.where(is_primary, jnp.where(hit.hit, hit.t, cfg.t_max), primary_t)
+
+    # Miss -> accumulate background.
+    bg = _background(cfg, d, lights is not None)
+    color = color + jnp.where(missed[:, None], contrib[:, None] * bg, 0.0)
+    depth = jnp.where(missed, cfg.t_max, depth)
+
+    # --- hit shading ---------------------------------------------------------
+    hit_point = o + hit.t[:, None] * d
+    normal = hit.normal
+    inner = linalg.dot(normal, d) > 0.0
+
+    sur_ri = isect.surrounding_refractive_index(
+        scene, hit_point + 1e-3 * normal, time_ratio
+    )
+
+    mat_color = _material_color(scene, hit)
+    mat_ri = scene.refractive_index[hit.obj]
+    refractivity = scene.refractivity[hit.obj]
+    reflectivity = scene.reflectivity[hit.obj]
+    scat_rfr = scene.scatter_refract[hit.obj]
+    scat_rfl = scene.scatter_reflect[hit.obj]
+
+    # Emissive abort: sample becomes pure white (lights glsl:662-666).
+    if lights is not None:
+        hit_emissive = did_hit & scene.emissive[hit.obj]
+        color = jnp.where(hit_emissive[:, None], jnp.ones_like(color), color)
+        done = done | hit_emissive
+        did_hit = did_hit & ~hit_emissive
+
+        lit = _shadow_factor(
+            scene, lights, hit_point, normal, sample_idx / spp, time_ratio
+        )
+        contrib = jnp.where(did_hit, contrib * lit, contrib)
+
+    bounced = bounced + 1
+    can_spawn = (
+        ((reflectivity > 0.002) | (refractivity > 0.002))
+        & (contrib > 0.01)
+        & (bounced < cfg.max_bounces)
+        & did_hit
+    )
+
+    # Outer hit: scatter-deviated reflect/refract (01_BVH glsl:556-577).
+    refl_outer = linalg.normalize(linalg.reflect(d, normal), eps=1e-20)
+    refl_outer = jnp.where(
+        (scat_rfl > 0.001)[:, None],
+        sampling.deviate_within_cone(refl_outer, sample_idx, spp, scat_rfl),
+        refl_outer,
+    )
+    refr_outer = linalg.safe_normalize(linalg.refract(d, normal, sur_ri / mat_ri))
+    refr_outer = jnp.where(
+        (scat_rfr > 0.001)[:, None] & (linalg.dot(refr_outer, refr_outer) > 0.1)[:, None],
+        sampling.deviate_within_cone(refr_outer, sample_idx, spp, scat_rfr),
+        refr_outer,
+    )
+    refl_outer = jnp.where((reflectivity > 0.002)[:, None], refl_outer, 0.0)
+    refr_outer = jnp.where((refractivity > 0.002)[:, None], refr_outer, 0.0)
+
+    # Inner hit: flip normal, 100% refract, reflect on TIR (glsl:578-585).
+    n_in = -normal
+    refr_inner = linalg.refract(d, n_in, mat_ri / sur_ri)
+    tir = linalg.dot(refr_inner, refr_inner) < 0.1
+    refl_inner = jnp.where(tir[:, None], linalg.reflect(d, n_in), 0.0)
+
+    normal_out = jnp.where(inner[:, None], n_in, normal)
+    refl_dir = jnp.where(inner[:, None], refl_inner, refl_outer)
+    refr_dir = jnp.where(inner[:, None], refr_inner, refr_outer)
+
+    spawn_refr = can_spawn & (linalg.dot(refr_dir, refr_dir) > 0.1)
+    spawn_refl = can_spawn & (linalg.dot(refl_dir, refl_dir) > 0.1)
+
+    # Push refraction then reflection (reference order; LIFO pops reflect first).
+    queue = queue.push(
+        spawn_refr, hit_point - 1e-4 * normal_out, refr_dir, contrib * refractivity, bounced
+    )
+    queue = queue.push(
+        spawn_refl, hit_point + 1e-4 * normal_out, refl_dir, contrib * reflectivity, bounced
+    )
+    forward = (
+        jnp.where(spawn_refr, refractivity, 0.0) + jnp.where(spawn_refl, reflectivity, 0.0)
+    )
+    contrib = contrib * (1.0 - 0.5 * forward)
+
+    color = color + jnp.where(did_hit[:, None], contrib[:, None] * mat_color, 0.0)
+    depth = jnp.where(did_hit, hit.t, depth)
+    return queue, (color, depth, done, primary_t)
+
+
+# ----------------------------------------------------------------------------
+# Entry point
+# ----------------------------------------------------------------------------
+
+
+def render_samples(scene, camera, cfg: RenderConfig, lights=None):
+    """Render per-(pixel,sample) colors: returns (H, W, S, 3) plus depth."""
+    H, W, S = cfg.height, cfg.width, cfg.spp
+    o, d, time_ratio = primary_rays(camera, W, H, S)
+    B = H * W * S
+    o = o.reshape(B, 3)
+    d = d.reshape(B, 3)
+    time_ratio = time_ratio.reshape(B)
+    sample_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.float32), (H, W, S)).reshape(B)
+
+    if cfg.show_normals:
+        t_limit = jnp.full((B,), cfg.t_max, jnp.float32)
+        hit = isect.intersect_brute(scene, o, d, time_ratio, t_limit)
+        col = jnp.where(hit.hit[:, None], hit.normal, 0.0)
+        return col.reshape(H, W, S, 3), jnp.where(hit.hit, hit.t, cfg.t_max).reshape(H, W, S)
+
+    queue = RayQueue.create(B, cfg.queue_capacity)
+    queue = queue.push(
+        jnp.ones(B, bool), o, d, jnp.ones(B, jnp.float32), jnp.zeros(B, jnp.int32)
+    )
+    state = (
+        jnp.zeros((B, 3), jnp.float32),  # accumulated color
+        jnp.full((B,), cfg.t_max, jnp.float32),  # last-written depth
+        jnp.zeros((B,), bool),  # emissive abort
+        jnp.full((B,), cfg.t_max, jnp.float32),  # primary hit t
+    )
+
+    def step(carry, _):
+        queue, state = carry
+        queue, state = _process_pop(
+            scene, lights, cfg, queue, state, sample_idx, S, time_ratio
+        )
+        return (queue, state), None
+
+    (queue, state), _ = jax.lax.scan(step, (queue, state), None, length=cfg.pops)
+    color, depth, done, primary_t = state
+    return color.reshape(H, W, S, 3), primary_t.reshape(H, W, S)
+
+
+def render(scene: Scene, camera: Camera, cfg: RenderConfig, lights: Optional[Lights] = None):
+    """Full render: per-sample gamma then mean over the sample axis.
+
+    Returns dict(image=(H, W, 3) in [0,1] (row 0 = bottom), depth=(H, W)).
+    The reference applies sqrt per sample before the shared-memory mean
+    (01_BVH glsl:696-701); we keep that order bit-for-bit.
+    """
+    colors, depths = render_samples(scene, camera, cfg, lights)
+    if cfg.show_normals:
+        image = jnp.mean(colors, axis=2)
+    else:
+        image = jnp.mean(jnp.sqrt(jnp.maximum(colors, 0.0)), axis=2)
+    depth = depths[:, :, cfg.spp // 2]  # the reference stores the mid sample
+    return {"image": image, "depth": depth}
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_jit(scene, camera, cfg: RenderConfig, lights=None):
+    return render(scene, camera, cfg, lights)
