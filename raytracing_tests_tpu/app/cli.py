@@ -1,0 +1,174 @@
+"""Command-line interface.
+
+Usage:
+  python -m raytracing_tests_tpu list
+  python -m raytracing_tests_tpu render <workload> [--width W --height H
+        --spp S --bounces B --normals --bvh --mesh N --out out.png
+        --depth-out depth.png]
+  python -m raytracing_tests_tpu train <workload> [--steps N --lr F
+        --train-fields color,position --out-dir dir]
+  python -m raytracing_tests_tpu bench [--smoke]
+
+Replaces the reference's compile-time workload selection
+(``sandbox.cpp:39-52``) and ImGui runtime knobs with flags; the "Tests Menu"
+launcher (``TestsLayerManager.cpp:267-303``) becomes ``list``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _cmd_list(_args):
+    from raytracing_tests_tpu.models import list_workloads
+
+    rows = [(w.category, w.name, w.description) for w in list_workloads()]
+    width = max(len(r[1]) for r in rows)
+    cat = None
+    for c, name, desc in rows:
+        if c != cat:
+            print(f"\n[{c}]")
+            cat = c
+        print(f"  {name:<{width}}  {desc}")
+
+
+def _cmd_render(args):
+    import numpy as np
+
+    from raytracing_tests_tpu.models import get_workload
+    from raytracing_tests_tpu.utils import io
+    from raytracing_tests_tpu.utils.logging import get_logger
+
+    log = get_logger()
+    w = get_workload(args.workload)
+    kw = {}
+    if args.width:
+        kw["width"] = args.width
+    if args.height:
+        kw["height"] = args.height
+    if args.spp:
+        kw["spp"] = args.spp
+    if args.bounces:
+        kw["max_bounces"] = args.bounces
+    if args.normals:
+        kw["show_normals"] = True
+    if args.bvh:
+        kw["intersector"] = "bvh"
+    if args.mesh:
+        from raytracing_tests_tpu.parallel import make_mesh
+
+        kw["mesh"] = make_mesh(args.mesh)
+    t0 = time.perf_counter()
+    out = w.run(**kw)
+    img = np.asarray(out["image"])
+    dt = time.perf_counter() - t0
+    log.info("%s: %s in %.2fs", w.name, img.shape, dt)
+    io.save_png(args.out, img)
+    log.info("wrote %s", args.out)
+    if args.depth_out and "depth" in out:
+        d = np.asarray(out["depth"])
+        lo, hi = d.min(), min(d.max(), 100 * max(d.min(), 1e-3))
+        io.save_png(args.depth_out, np.repeat(((d - lo) / max(hi - lo, 1e-9))[..., None], 3, -1))
+        log.info("wrote %s", args.depth_out)
+
+
+def _cmd_train(args):
+    import numpy as np
+    import optax
+
+    from raytracing_tests_tpu.diff import TrainState, make_train_step, params_mask
+    from raytracing_tests_tpu.models import get_workload
+    from raytracing_tests_tpu.utils import io
+    from raytracing_tests_tpu.utils.logging import get_logger
+
+    log = get_logger()
+    w = get_workload(args.workload)
+    out = w.run(width=args.width, height=args.height, spp=args.spp)
+    scene, camera, cfg = out["scene"], out["camera"], out["cfg"]
+    target = np.asarray(out["image"])
+
+    rng = np.random.default_rng(args.seed)
+    perturbed = scene.replace(
+        color=scene.color * 0.5 + rng.uniform(0, 0.5, scene.color.shape).astype("float32")
+    )
+    fields = args.train_fields.split(",")
+    opt = optax.adam(args.lr)
+    mesh = None
+    if args.mesh:
+        from raytracing_tests_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
+    step = make_train_step(
+        perturbed, camera, cfg, opt, mesh=mesh, trainable=params_mask(perturbed, *fields)
+    )
+    st = TrainState.create(perturbed, opt)
+    for k in range(args.steps):
+        st, loss = step(st, target)
+        if k % max(1, args.steps // 10) == 0 or k == args.steps - 1:
+            log.info("step %4d  loss %.6g", k, float(loss))
+    if args.out_dir:
+        import os
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        from raytracing_tests_tpu.diff import apply_params
+        from raytracing_tests_tpu.ops.render import render_jit
+
+        final = render_jit(apply_params(perturbed, st.params), camera, cfg)
+        io.save_png(f"{args.out_dir}/target.png", target)
+        io.save_png(f"{args.out_dir}/final.png", np.asarray(final["image"]))
+        log.info("wrote %s/{target,final}.png", args.out_dir)
+
+
+def _cmd_bench(args):
+    import os
+    import runpy
+
+    if args.smoke:
+        os.environ["BENCH_SMOKE"] = "1"
+    sys.argv = ["bench.py"]
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "../../bench.py"), run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="raytracing_tests_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered workloads")
+
+    pr = sub.add_parser("render", help="render one workload to PNG")
+    pr.add_argument("workload")
+    pr.add_argument("--width", type=int)
+    pr.add_argument("--height", type=int)
+    pr.add_argument("--spp", type=int)
+    pr.add_argument("--bounces", type=int)
+    pr.add_argument("--normals", action="store_true", help="debug normals view")
+    pr.add_argument("--bvh", action="store_true", help="use the LBVH intersector")
+    pr.add_argument("--mesh", type=int, help="shard over N devices")
+    pr.add_argument("--out", default="render.png")
+    pr.add_argument("--depth-out", help="also write normalized depth PNG")
+
+    pt = sub.add_parser("train", help="inverse-rendering demo: recover scene params")
+    pt.add_argument("workload")
+    pt.add_argument("--steps", type=int, default=100)
+    pt.add_argument("--lr", type=float, default=2e-2)
+    pt.add_argument("--width", type=int, default=64)
+    pt.add_argument("--height", type=int, default=36)
+    pt.add_argument("--spp", type=int, default=2)
+    pt.add_argument("--seed", type=int, default=0)
+    pt.add_argument("--mesh", type=int)
+    pt.add_argument("--train-fields", default="color")
+    pt.add_argument("--out-dir")
+
+    pb = sub.add_parser("bench", help="run the headline benchmark")
+    pb.add_argument("--smoke", action="store_true")
+
+    args = p.parse_args(argv)
+    {"list": _cmd_list, "render": _cmd_render, "train": _cmd_train, "bench": _cmd_bench}[
+        args.cmd
+    ](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -24,9 +24,15 @@ CUBOID = 2
 MISS_T = -1.0
 
 
-def _div(a, b):
-    """IEEE division like GLSL: +-inf on zero denominators (never NaN from 0/x)."""
-    return a / b
+def _safe_inv(d, eps: float = 1e-12):
+    """1/d with zero components clamped to +-eps.
+
+    Forward is indistinguishable from the GLSL +-inf convention (slab entries
+    land at ~1e12, far beyond any t limit) but gradients stay finite —
+    d(1/d)/dd = -1/d^2 at d = 0 would be -inf and poison masked lanes.
+    """
+    d_safe = jnp.where(jnp.abs(d) < eps, jnp.where(d >= 0.0, eps, -eps), d)
+    return 1.0 / d_safe
 
 
 def ray_ellipsoid_t(origin, direction, scale):
@@ -42,11 +48,15 @@ def ray_ellipsoid_t(origin, direction, scale):
     a = linalg.dot(d, d)
     c = linalg.dot(o, o) - 1.0
     disc = half_b * half_b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t0 = (-half_b - sq) / a
-    t1 = (-half_b + sq) / a
+    # Safe-input guards (a == 0 for dead zero-direction lanes; disc <= 0 for
+    # misses): masked forward values must still have finite gradients.
+    ok = (disc > 0.0) & (a > 1e-30)
+    sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+    a_safe = jnp.where(ok, a, 1.0)
+    t0 = (-half_b - sq) / a_safe
+    t1 = (-half_b + sq) / a_safe
     t = jnp.where((t0 > t1) | (t0 < 0.0), t1, t0)
-    t = jnp.where((disc > 0.0) & (t > 0.0), t, MISS_T)
+    t = jnp.where(ok & (t > 0.0), t, MISS_T)
     return t
 
 
@@ -55,7 +65,7 @@ def ray_cuboid_t(origin, direction, scale):
 
     Slab test; rays starting inside hit the exit face (t = tmax when tmin < 0).
     """
-    inv_d = _div(1.0, direction)
+    inv_d = _safe_inv(direction)
     b_min = -scale * 0.5
     b_max = scale * 0.5
     t1 = (b_min - origin) * inv_d
@@ -114,7 +124,7 @@ def ray_aabb_hit(bb_min, bb_max, origin, direction, t_limit):
     ``t_limit`` (no positivity check on tmax — the reference accepts boxes
     behind the origin; leaf-level intersection then rejects them).
     """
-    inv_d = _div(1.0, direction)
+    inv_d = _safe_inv(direction)
     t1 = (bb_min - origin) * inv_d
     t2 = (bb_max - origin) * inv_d
     tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)

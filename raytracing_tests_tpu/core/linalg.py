@@ -86,10 +86,14 @@ def norm(v):
 
 
 def normalize(v, eps: float = 0.0):
+    """Normalize with NaN-free gradients: zero vectors map to zero.
+
+    Dead lanes in the wavefront loop carry zero directions; their values are
+    masked downstream but their *gradients* are not — ``sqrt``/division at 0
+    would poison the whole backward pass (the double-where trick applies).
+    """
     n2 = dot(v, v, keepdims=True)
-    if eps:
-        return v * jnp.where(n2 > 0, 1.0 / jnp.sqrt(n2 + eps), 0.0)
-    return v / jnp.sqrt(n2)
+    return v / jnp.sqrt(jnp.maximum(n2, max(eps, 1e-38)))
 
 
 def safe_normalize(v):
@@ -117,8 +121,9 @@ def refract(d, n, eta):
     cos_i = -dot(d, n, keepdims=True)
     k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
     tir = k < 0.0
-    k_safe = jnp.maximum(k, 0.0)
-    out = eta * d + (eta * cos_i - jnp.sqrt(k_safe)) * n
+    # Double-where: sqrt'(0) = inf would leak NaN into masked lanes' grads.
+    sqrt_k = jnp.where(k > 0.0, jnp.sqrt(jnp.where(k > 0.0, k, 1.0)), 0.0)
+    out = eta * d + (eta * cos_i - sqrt_k) * n
     return jnp.where(tir, jnp.zeros_like(out), out)
 
 

@@ -32,10 +32,14 @@ def sunflower_disc(sample_index, max_samples, aperture):
     n = jnp.asarray(max_samples, jnp.float32)
     b = jnp.round(2.0 * jnp.sqrt(n))
     half_ap = jnp.asarray(aperture) * 0.5
+    # Guard: for tiny n the denominator n - (b+1)/2 hits 0 (all samples are on
+    # the rim and the interior branch is masked out, but its gradient isn't).
+    denom = n - (b + 1.0) / 2.0
+    denom = jnp.where(denom > 0.0, denom, 1.0)
     r = jnp.where(
         i > n - b,
         half_ap,
-        half_ap * jnp.sqrt(jnp.maximum(i - 0.5, 0.0) / (n - (b + 1.0) / 2.0)),
+        half_ap * jnp.sqrt(jnp.maximum(i - 0.5, 0.0) / denom),
     )
     theta = GOLDEN_ANGLE * i
     pt = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
@@ -49,7 +53,9 @@ def sunflower_unit_disc(sample_index, max_samples):
     n = jnp.asarray(max_samples, jnp.float32)
     b = jnp.round(2.0 * jnp.sqrt(n))
     golden = (jnp.sqrt(5.0) + 1.0) / 2.0
-    r = jnp.where(i > n - b, 1.0, jnp.sqrt(jnp.maximum(i - 0.5, 0.0) / (n - (b + 1.0) / 2.0)))
+    denom = n - (b + 1.0) / 2.0
+    denom = jnp.where(denom > 0.0, denom, 1.0)
+    r = jnp.where(i > n - b, 1.0, jnp.sqrt(jnp.maximum(i - 0.5, 0.0) / denom))
     theta = 2.0 * PI * i / (golden * golden)
     pt = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
     return jnp.where((i == 0)[..., None], jnp.zeros_like(pt), pt)

@@ -51,6 +51,10 @@ def intersect_brute(scene: Scene, o, d, time_ratio, t_limit):
     obj = jnp.argmin(t, axis=1).astype(jnp.int32)
     t_hit = jnp.take_along_axis(t, obj[:, None], axis=1)[:, 0]
     hit = t_hit < BIG_T
+    # Bounded t for misses: every downstream use is masked by ``hit``, but the
+    # values still flow through normalize/shading — BIG_T would overflow to
+    # inf and produce NaN gradients there.
+    t_hit = jnp.where(hit, t_hit, 1.0)
 
     # Recompute the winning object's local frame once (cheap gather over N).
     rot = scene.rotation[obj]  # (B, 3, 3)

@@ -60,6 +60,7 @@ class RenderConfig:
     enable_lights: bool = True
     intersector: str = "brute"  # 'brute' | 'bvh'
     show_normals: bool = False  # debug view (Sphere.cpp:54, groups.cpp:66)
+    lane_chunk: Optional[int] = None  # bound peak memory: lanes per lax.map step
 
     @property
     def pops(self) -> int:
@@ -192,7 +193,7 @@ def _material_color(scene: Scene, hit: isect.Hit):
     return jnp.where((ti > 0)[:, None], color * tc, color)
 
 
-def _shadow_factor(scene, lights: Lights, hit, normal, sample_ratio, time_ratio):
+def _shadow_factor(scene, lights: Lights, hit, normal, sample_ratio, time_ratio, accel=None):
     """Fraction of lights visible from the hit point (lights glsl:604-660).
 
     Each lane aims at a per-sample point inside each light's AABB; a light
@@ -206,7 +207,7 @@ def _shadow_factor(scene, lights: Lights, hit, normal, sample_ratio, time_ratio)
         target = bb_min + (bb_max - bb_min) * sample_ratio[:, None]
         t_lim = linalg.norm(center - origin) + linalg.norm(bb_max - bb_min)
         d = linalg.normalize(target - origin)
-        nearest = isect.occluded_nearest_obj(scene, origin, d, time_ratio, t_lim)
+        nearest = _nearest_obj(scene, accel, origin, d, time_ratio, t_lim)
         lit = scene.emissive[jnp.maximum(nearest, 0)] & (nearest >= 0)
         return is_lit + jnp.where(lights.mask[li], lit.astype(jnp.float32), 0.0), None
 
@@ -214,14 +215,31 @@ def _shadow_factor(scene, lights: Lights, hit, normal, sample_ratio, time_ratio)
     return is_lit / jnp.maximum(lights.count.astype(jnp.float32), 1.0)
 
 
-def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp, time_ratio):
+def _nearest(scene, accel, o, d, time_ratio, t_limit):
+    """Intersector dispatch: dense sweep or LBVH traversal (same Hit contract)."""
+    if accel is not None:
+        from raytracing_tests_tpu.bvh.traverse import traverse_nearest
+
+        return traverse_nearest(accel, scene, o, d, time_ratio, t_limit)
+    return isect.intersect_brute(scene, o, d, time_ratio, t_limit)
+
+
+def _nearest_obj(scene, accel, o, d, time_ratio, t_limit):
+    if accel is not None:
+        from raytracing_tests_tpu.bvh.traverse import traverse_nearest_obj
+
+        return traverse_nearest_obj(accel, scene, o, d, time_ratio, t_limit)
+    return isect.occluded_nearest_obj(scene, o, d, time_ratio, t_limit)
+
+
+def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp, time_ratio, accel=None):
     """One wavefront step: pop LIFO top of every lane, intersect, shade, spawn."""
     color, depth, done, primary_t = state
     queue, active, o, d, contrib, bounced = queue.pop()
     active = active & ~done
 
     t_limit = jnp.full(o.shape[0], cfg.t_max, jnp.float32)
-    hit = isect.intersect_brute(scene, o, d, time_ratio, t_limit)
+    hit = _nearest(scene, accel, o, d, time_ratio, t_limit)
     did_hit = hit.hit & active
     missed = active & ~hit.hit
 
@@ -259,7 +277,7 @@ def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp
         did_hit = did_hit & ~hit_emissive
 
         lit = _shadow_factor(
-            scene, lights, hit_point, normal, sample_idx / spp, time_ratio
+            scene, lights, hit_point, normal, sample_idx / spp, time_ratio, accel
         )
         contrib = jnp.where(did_hit, contrib * lit, contrib)
 
@@ -318,25 +336,31 @@ def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp
 
 
 # ----------------------------------------------------------------------------
-# Entry point
+# Entry points
 # ----------------------------------------------------------------------------
 
 
-def render_samples(scene, camera, cfg: RenderConfig, lights=None):
-    """Render per-(pixel,sample) colors: returns (H, W, S, 3) plus depth."""
-    H, W, S = cfg.height, cfg.width, cfg.spp
-    o, d, time_ratio = primary_rays(camera, W, H, S)
-    B = H * W * S
-    o = o.reshape(B, 3)
-    d = d.reshape(B, 3)
-    time_ratio = time_ratio.reshape(B)
-    sample_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.float32), (H, W, S)).reshape(B)
+def _build_accel(scene, cfg: RenderConfig):
+    if cfg.intersector != "bvh":
+        return None
+    from raytracing_tests_tpu.bvh.build import build_lbvh
 
+    return build_lbvh(scene)
+
+
+def trace_lanes(scene, lights, cfg: RenderConfig, o, d, time_ratio, sample_idx, accel=None):
+    """Trace a flat batch of lanes. ``o, d: (B, 3)``; returns
+    ``(color (B, 3), primary_t (B,), rays (scalar i32))`` where ``rays`` counts
+    the rays actually processed (active pops) — the honest rays/s numerator.
+    """
+    B = o.shape[0]
+    if accel is None and cfg.intersector == "bvh":
+        accel = _build_accel(scene, cfg)
     if cfg.show_normals:
         t_limit = jnp.full((B,), cfg.t_max, jnp.float32)
-        hit = isect.intersect_brute(scene, o, d, time_ratio, t_limit)
+        hit = _nearest(scene, accel, o, d, time_ratio, t_limit)
         col = jnp.where(hit.hit[:, None], hit.normal, 0.0)
-        return col.reshape(H, W, S, 3), jnp.where(hit.hit, hit.t, cfg.t_max).reshape(H, W, S)
+        return col, jnp.where(hit.hit, hit.t, cfg.t_max), jnp.int32(B)
 
     queue = RayQueue.create(B, cfg.queue_capacity)
     queue = queue.push(
@@ -350,15 +374,122 @@ def render_samples(scene, camera, cfg: RenderConfig, lights=None):
     )
 
     def step(carry, _):
-        queue, state = carry
+        queue, state, rays = carry
+        n_active = jnp.sum((queue.size > 0).astype(jnp.int32))
         queue, state = _process_pop(
-            scene, lights, cfg, queue, state, sample_idx, S, time_ratio
+            scene, lights, cfg, queue, state, sample_idx, cfg.spp, time_ratio, accel
         )
-        return (queue, state), None
+        return (queue, state, rays + n_active), None
 
-    (queue, state), _ = jax.lax.scan(step, (queue, state), None, length=cfg.pops)
+    (queue, state, rays), _ = jax.lax.scan(
+        step, (queue, state, jnp.int32(0)), None, length=cfg.pops
+    )
     color, depth, done, primary_t = state
+    return color, primary_t, rays
+
+
+def _lane_inputs(camera, cfg: RenderConfig):
+    """Flattened per-lane primary rays + sample metadata."""
+    H, W, S = cfg.height, cfg.width, cfg.spp
+    o, d, time_ratio = primary_rays(camera, W, H, S)
+    B = H * W * S
+    sample_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.float32), (H, W, S))
+    return (
+        o.reshape(B, 3),
+        d.reshape(B, 3),
+        time_ratio.reshape(B),
+        sample_idx.reshape(B),
+    )
+
+
+def render_samples(scene, camera, cfg: RenderConfig, lights=None):
+    """Render per-(pixel,sample) colors: returns (H, W, S, 3) plus depth.
+
+    When ``cfg.lane_chunk`` is set, lanes are processed in fixed-size chunks
+    under ``lax.map`` so peak memory is bounded by chunk x objects — the
+    TPU-native analogue of the reference's spiral tile scheduler
+    (``materials.cpp:100-120``: bounded work per dispatch).
+    """
+    H, W, S = cfg.height, cfg.width, cfg.spp
+    o, d, time_ratio, sample_idx = _lane_inputs(camera, cfg)
+    B = H * W * S
+    accel = _build_accel(scene, cfg)
+
+    if cfg.lane_chunk is None or cfg.lane_chunk >= B:
+        color, primary_t, _ = trace_lanes(
+            scene, lights, cfg, o, d, time_ratio, sample_idx, accel
+        )
+        return color.reshape(H, W, S, 3), primary_t.reshape(H, W, S)
+
+    chunk = cfg.lane_chunk
+    n_chunks = -(-B // chunk)
+    pad = n_chunks * chunk - B
+
+    def pad_to(x):
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
+
+    xs = tuple(
+        pad_to(x).reshape(n_chunks, chunk, *x.shape[1:])
+        for x in (o, d, time_ratio, sample_idx)
+    )
+
+    def body(args):
+        co, pt, _ = trace_lanes(scene, lights, cfg, *args, accel)
+        return co, pt
+
+    color, primary_t = jax.lax.map(body, xs)
+    color = color.reshape(-1, 3)[:B]
+    primary_t = primary_t.reshape(-1)[:B]
     return color.reshape(H, W, S, 3), primary_t.reshape(H, W, S)
+
+
+def render_stats(scene, camera, cfg: RenderConfig, lights=None):
+    """Render + throughput accounting: dict(image, depth, rays) where ``rays``
+    is the number of rays actually traced (active queue pops, i.e. primary +
+    secondary rays; the honest numerator for Mrays/s)."""
+    H, W, S = cfg.height, cfg.width, cfg.spp
+    o, d, time_ratio, sample_idx = _lane_inputs(camera, cfg)
+    B = H * W * S
+    accel = _build_accel(scene, cfg)
+    chunk = cfg.lane_chunk or B
+    if chunk >= B:
+        color, primary_t, rays = trace_lanes(
+            scene, lights, cfg, o, d, time_ratio, sample_idx, accel
+        )
+    else:
+        n_chunks = -(-B // chunk)
+        pad = n_chunks * chunk - B
+
+        def pad_to(x):
+            return (
+                jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+                if pad
+                else x
+            )
+
+        xs = tuple(
+            pad_to(x).reshape(n_chunks, chunk, *x.shape[1:])
+            for x in (o, d, time_ratio, sample_idx)
+        )
+        color, primary_t, rays = jax.lax.map(
+            lambda args: trace_lanes(scene, lights, cfg, *args, accel), xs
+        )
+        color = color.reshape(-1, 3)[:B]
+        primary_t = primary_t.reshape(-1)[:B]
+        rays = jnp.sum(rays)
+    out = finalize(color.reshape(H, W, S, 3), primary_t.reshape(H, W, S), cfg)
+    out["rays"] = rays
+    return out
+
+
+def finalize(colors, depths, cfg: RenderConfig):
+    """Per-sample gamma then mean over the sample axis; mid-sample depth."""
+    if cfg.show_normals:
+        image = jnp.mean(colors, axis=2)
+    else:
+        image = jnp.mean(jnp.sqrt(jnp.maximum(colors, 0.0)), axis=2)
+    depth = depths[:, :, cfg.spp // 2]  # the reference stores the mid sample
+    return {"image": image, "depth": depth}
 
 
 def render(scene: Scene, camera: Camera, cfg: RenderConfig, lights: Optional[Lights] = None):
@@ -369,12 +500,7 @@ def render(scene: Scene, camera: Camera, cfg: RenderConfig, lights: Optional[Lig
     (01_BVH glsl:696-701); we keep that order bit-for-bit.
     """
     colors, depths = render_samples(scene, camera, cfg, lights)
-    if cfg.show_normals:
-        image = jnp.mean(colors, axis=2)
-    else:
-        image = jnp.mean(jnp.sqrt(jnp.maximum(colors, 0.0)), axis=2)
-    depth = depths[:, :, cfg.spp // 2]  # the reference stores the mid sample
-    return {"image": image, "depth": depth}
+    return finalize(colors, depths, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

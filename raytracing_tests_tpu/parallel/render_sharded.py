@@ -1,0 +1,91 @@
+"""Mesh-sharded rendering: image rows over devices, scene replicated.
+
+TPU-native replacement for the reference's single-GPU dispatch + spiral tile
+scheduler (``RT_Base base.h:170``, ``materials.cpp:100-120``): primary rays
+are generated for the whole image, rows are interleave-permuted for load
+balance, and a ``shard_map`` traces each device's row block with the scene
+SoA replicated per chip.  No collectives run in the forward pass; gradient
+``psum`` over the ``rows`` axis falls out of the ``shard_map`` transpose in
+``diff/``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.4.35 re-export
+    from jax import shard_map as _shard_map_mod  # noqa: F401
+
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from raytracing_tests_tpu.ops.camera_rays import primary_rays
+from raytracing_tests_tpu.ops.render import (
+    Lights,
+    RenderConfig,
+    _build_accel,
+    finalize,
+    trace_lanes,
+)
+from raytracing_tests_tpu.parallel.mesh import ROWS_AXIS, row_permutation
+from raytracing_tests_tpu.scene.types import Camera, Scene
+
+
+def render_sharded(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    lights: Optional[Lights] = None,
+):
+    """Full render sharded over ``mesh``'s ``rows`` axis.
+
+    Returns dict(image=(H, W, 3), depth=(H, W)) exactly matching the
+    single-device ``ops.render.render`` output (tested allclose).
+    """
+    H, W, S = cfg.height, cfg.width, cfg.spp
+    n = mesh.shape[ROWS_AXIS]
+    perm, inverse, padded = row_permutation(H, n)
+
+    o, d, time_ratio = primary_rays(camera, W, H, S)
+    sample_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.float32), (H, W, S))
+
+    def pad_rows(x):
+        pad = padded - H
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        return x[perm]
+
+    o, d, time_ratio, sample_idx = (pad_rows(x) for x in (o, d, time_ratio, sample_idx))
+    accel = _build_accel(scene, cfg)  # built once, replicated per chip
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS)),
+        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS)),
+        check_vma=False,
+    )
+    def block(scene_, lights_, accel_, o_, d_, ratio_, sidx_):
+        h = o_.shape[0]
+        flat = lambda x: x.reshape((h * W * S,) + x.shape[3:])
+        color, primary_t, _ = trace_lanes(
+            scene_, lights_, cfg, flat(o_), flat(d_), flat(ratio_), flat(sidx_), accel_
+        )
+        return color.reshape(h, W, S, 3), primary_t.reshape(h, W, S)
+
+    colors, depths = block(scene, lights, accel, o, d, time_ratio, sample_idx)
+    colors = colors[inverse][:H]
+    depths = depths[inverse][:H]
+    return finalize(colors, depths, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_sharded_jit(scene, camera, cfg: RenderConfig, mesh: Mesh, lights=None):
+    return render_sharded(scene, camera, cfg, mesh, lights)

@@ -46,7 +46,10 @@ def cube_sphere_uv(local_pos):
         ],
         axis=-1,
     )
-    p = local_pos / linalg.dot(local_pos, face_dirn, keepdims=True)
+    # Guarded divide: dead lanes carry local_pos = 0 (denominator 0); their
+    # uv is masked downstream but the gradient path must stay finite.
+    denom = linalg.dot(local_pos, face_dirn, keepdims=True)
+    p = local_pos / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
     p = p * 0.5 + 0.5  # (-1,1) -> (0,1)
     px, py, pz = p[..., 0], p[..., 1], p[..., 2]
 

@@ -230,8 +230,11 @@ class SceneBuilder:
         cap = capacity or -(-n // _PAD) * _PAD
         assert cap >= n
 
-        def field(fn, shape, dtype=np.float32):
-            out = np.zeros((cap,) + shape, dtype)
+        def field(fn, shape, dtype=np.float32, pad_value=0):
+            # Padding rows use benign values (unit scale/RI): they never hit
+            # (valid = False, obj_type = 0) but are still *evaluated* by the
+            # dense sweep, and zeros would make masked-lane gradients NaN.
+            out = np.full((cap,) + shape, pad_value, dtype)
             for i, o in enumerate(self._objs):
                 out[i] = fn(o)
             return jnp.asarray(out)
@@ -250,11 +253,11 @@ class SceneBuilder:
         return Scene(
             position=field(lambda o: o.position, (3,)),
             rotation=jnp.asarray(rot),
-            scale=field(lambda o: o.scale, (3,)),
+            scale=field(lambda o: o.scale, (3,), pad_value=1),
             delta_position=field(lambda o: o.delta_position, (3,)),
             obj_type=field(lambda o: o.obj_type, (), np.int32),
             color=field(lambda o: o.color, (3,)),
-            refractive_index=field(lambda o: o.refractive_index, ()),
+            refractive_index=field(lambda o: o.refractive_index, (), pad_value=1),
             refractivity=field(lambda o: o.refractivity, ()),
             reflectivity=field(lambda o: o.reflectivity, ()),
             scatter_refract=field(lambda o: o.scatter_refract, ()),

@@ -1,0 +1,65 @@
+"""Mesh-sharded rendering == single-device rendering, on the virtual 8-device
+CPU mesh (SURVEY.md §4: multi-host behavior tested without a pod via
+``--xla_force_host_platform_device_count``)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from raytracing_tests_tpu.ops.render import RenderConfig, extract_lights, render_jit
+from raytracing_tests_tpu.parallel import make_mesh, render_sharded_jit, row_permutation
+from raytracing_tests_tpu.scene import examples
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_row_permutation_roundtrip():
+    perm, inverse, padded = row_permutation(13, 4)
+    assert padded == 16
+    x = np.arange(16)
+    assert np.array_equal(x[perm][inverse], x)
+    # shard 0 holds rows 0, 4, 8, 12 (strided interleave)
+    assert list(perm[:4]) == [0, 4, 8, 12]
+
+
+@pytest.mark.parametrize("n_dev", [1, 4, 8])
+def test_sharded_matches_single_device(n_dev):
+    scene, cam = examples.materials_scene()
+    cfg = RenderConfig(width=32, height=20, spp=4, max_bounces=4)
+    ref = render_jit(scene, cam, cfg)
+    mesh = make_mesh(n_dev)
+    out = render_sharded_jit(scene, cam, cfg, mesh)
+    np.testing.assert_allclose(out["image"], ref["image"], atol=1e-5)
+    np.testing.assert_allclose(out["depth"], ref["depth"], atol=1e-4)
+
+
+def test_sharded_height_not_divisible():
+    scene, cam = examples.groups_scene()
+    cfg = RenderConfig(width=16, height=13, spp=2, max_bounces=3)  # 13 % 8 != 0
+    ref = render_jit(scene, cam, cfg)
+    out = render_sharded_jit(scene, cam, cfg, make_mesh(8))
+    np.testing.assert_allclose(out["image"], ref["image"], atol=1e-5)
+
+
+def test_sharded_with_lights():
+    scene, cam = examples.lights_scene()
+    lights = extract_lights(scene)
+    cfg = RenderConfig(width=16, height=12, spp=2, max_bounces=3)
+    ref = render_jit(scene, cam, cfg, lights)
+    out = render_sharded_jit(scene, cam, cfg, make_mesh(8), lights)
+    np.testing.assert_allclose(out["image"], ref["image"], atol=1e-5)
+
+
+def test_lane_chunked_matches_unchunked():
+    scene, cam = examples.materials_scene()
+    cfg = RenderConfig(width=32, height=20, spp=4, max_bounces=4)
+    cfg_chunk = RenderConfig(
+        width=32, height=20, spp=4, max_bounces=4, lane_chunk=500  # non-divisor
+    )
+    ref = render_jit(scene, cam, cfg)
+    out = render_jit(scene, cam, cfg_chunk)
+    np.testing.assert_allclose(out["image"], ref["image"], atol=1e-6)
+    np.testing.assert_allclose(out["depth"], ref["depth"], atol=1e-6)
