@@ -44,7 +44,8 @@ def main():
         spp=spp,
         max_bounces=8,
         lane_chunk=chunk,
-    )
+        intersector=os.environ.get("BENCH_INTERSECTOR", "bvh"),
+    ).for_scene(scene)
 
     fn = jax.jit(lambda s, c: render_stats(s, c, cfg))
     scene = jax.device_put(scene)

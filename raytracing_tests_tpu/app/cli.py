@@ -104,10 +104,22 @@ def _cmd_train(args):
         perturbed, camera, cfg, opt, mesh=mesh, trainable=params_mask(perturbed, *fields)
     )
     st = TrainState.create(perturbed, opt)
-    for k in range(args.steps):
+    start = 0
+    if args.ckpt_dir:
+        from raytracing_tests_tpu.app import checkpoint as ckpt
+
+        restored, start = ckpt.restore_train_state(args.ckpt_dir)
+        if restored is not None:
+            st = restored
+            log.info("resumed from step %d", start)
+    for k in range(start, args.steps):
         st, loss = step(st, target)
         if k % max(1, args.steps // 10) == 0 or k == args.steps - 1:
             log.info("step %4d  loss %.6g", k, float(loss))
+        if args.ckpt_dir and (k + 1) % args.ckpt_every == 0:
+            from raytracing_tests_tpu.app import checkpoint as ckpt
+
+            ckpt.save_train_state(args.ckpt_dir, st, k + 1)
     if args.out_dir:
         import os
 
@@ -160,6 +172,8 @@ def main(argv=None):
     pt.add_argument("--mesh", type=int)
     pt.add_argument("--train-fields", default="color")
     pt.add_argument("--out-dir")
+    pt.add_argument("--ckpt-dir", help="checkpoint/resume directory")
+    pt.add_argument("--ckpt-every", type=int, default=20)
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.add_argument("--smoke", action="store_true")

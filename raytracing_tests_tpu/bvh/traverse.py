@@ -140,3 +140,83 @@ def traverse_nearest_obj(bvh: LBVH, scene: Scene, o, d, time_ratio, t_limit):
     mirroring ``ops.intersect.occluded_nearest_obj``."""
     _, obj = _traverse(bvh, scene, o, d, time_ratio, t_limit)
     return obj
+
+
+def traverse_point_ri(bvh: LBVH, scene: Scene, point, time_ratio):
+    """Surrounding-refractive-index point query via the BVH.
+
+    The reference runs a second top-down traversal accumulating the RI of
+    every leaf whose AABB contains the point
+    (``IfInsideAABBAndLeaf_TryAccumulateRI``, ``01_BVH glsl:268-345,
+    484-502``); this walks the same tree but tests the *exact* primitive at
+    leaves (matching ``ops.intersect.surrounding_refractive_index``, which
+    treats the AABB walk as a culling detail).  O(depth) instead of O(N).
+    """
+    B = point.shape[0]
+    n_nodes = bvh.left.shape[0]
+    max_steps = 3 * n_nodes + 2
+
+    init = (
+        jnp.zeros((B,), jnp.int32),  # cur
+        jnp.full((B,), _DOWN, jnp.int32),
+        jnp.zeros((B,), bool),  # done
+        jnp.zeros((B,), jnp.float32),  # RI accumulator
+        jnp.zeros((B,), jnp.float32),  # containment count
+        jnp.int32(0),
+    )
+
+    def cond(carry):
+        _, _, done, _, _, step = carry
+        return (~jnp.all(done)) & (step < max_steps)
+
+    def body(carry):
+        cur, state, done, acc, cnt, step = carry
+        is_down = (state == _DOWN) & ~done
+
+        inside_aabb = jnp.all(
+            (point >= bvh.bb_min[cur]) & (point <= bvh.bb_max[cur]), axis=-1
+        )
+        obj = bvh.obj_id[cur]
+        is_leaf = obj >= 0
+
+        # Exact containment test at leaves (masked every iteration).
+        obj_s = jnp.maximum(obj, 0)
+        shift = (1.0 - time_ratio)[:, None] * scene.delta_position[obj_s]
+        local = linalg.apply_rotation_t(
+            scene.rotation[obj_s], point - scene.position[obj_s] + shift
+        ) / scene.scale[obj_s]
+        inside = (
+            geometry.point_in_unit_primitive(local, scene.obj_type[obj_s])
+            & scene.valid[obj_s]
+        )
+        take = is_down & is_leaf & inside_aabb & inside
+        acc = acc + jnp.where(take, scene.refractive_index[obj_s], 0.0)
+        cnt = cnt + take.astype(jnp.float32)
+
+        descend = is_down & ~is_leaf & inside_aabb
+        is_up = (state == _UP) & ~done
+        par = bvh.parent[cur]
+        at_root = par < 0
+        was_left = jnp.where(at_root, False, bvh.left[jnp.maximum(par, 0)] == cur)
+
+        new_done = done | (is_up & at_root)
+        new_cur = jnp.where(
+            descend,
+            bvh.left[cur],
+            jnp.where(
+                is_up & ~at_root & was_left,
+                bvh.right[jnp.maximum(par, 0)],
+                jnp.where(is_up & ~at_root & ~was_left, par, cur),
+            ),
+        )
+        new_state = jnp.where(
+            descend | (is_up & ~at_root & was_left),
+            _DOWN,
+            jnp.where(
+                (is_down & ~descend) | (is_up & ~at_root & ~was_left), _UP, state
+            ),
+        )
+        return new_cur, new_state, new_done, acc, cnt, step + 1
+
+    _, _, _, acc, cnt, _ = jax.lax.while_loop(cond, body, init)
+    return jnp.where(acc > 1.0, acc / jnp.maximum(cnt, 1.0), 1.0)

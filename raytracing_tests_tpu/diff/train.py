@@ -10,6 +10,7 @@ gradients are automatically ``psum``-reduced over the ``rows`` axis by the
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -35,6 +36,8 @@ def render_loss(
     lights: Optional[Lights] = None,
 ):
     """Mean-squared pixel error of the (possibly sharded) render vs target."""
+    if cfg.early_exit:  # while_loop is not reverse-differentiable
+        cfg = dataclasses.replace(cfg, early_exit=False)
     scene = apply_params(template, params)
     if mesh is not None:
         out = render_sharded(scene, camera, cfg, mesh, lights)

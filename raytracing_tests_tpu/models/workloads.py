@@ -54,6 +54,7 @@ def _rt_run(scene_fn, defaults: dict, lights: bool = False):
             intersector=intersector or defaults.get("intersector", "brute"),
             lane_chunk=lane_chunk,
         )
+        cfg = cfg.for_scene(scene)
         lt = extract_lights(scene) if lights else None
         if mesh is not None:
             from raytracing_tests_tpu.parallel import render_sharded_jit

@@ -61,6 +61,19 @@ class RenderConfig:
     intersector: str = "brute"  # 'brute' | 'bvh'
     show_normals: bool = False  # debug view (Sphere.cpp:54, groups.cpp:66)
     lane_chunk: Optional[int] = None  # bound peak memory: lanes per lax.map step
+    # early_exit uses lax.while_loop to stop as soon as every ray queue
+    # drains (big forward-pass win) but while_loop is not reverse-mode
+    # differentiable -- diff/ flips this off automatically.
+    early_exit: bool = True
+    # Static scene features (trace-time specialization; set via for_scene()).
+    # has_dielectrics gates the O(N) surrounding-refractive-index sweep -- the
+    # single most expensive per-pop op for scenes that never refract.
+    has_dielectrics: bool = True
+
+    def for_scene(self, scene) -> "RenderConfig":
+        """Specialize static flags from a CONCRETE (non-traced) scene."""
+        refr = np.asarray(scene.refractivity) * np.asarray(scene.valid)
+        return dataclasses.replace(self, has_dielectrics=bool((refr > 0.002).any()))
 
     @property
     def pops(self) -> int:
@@ -215,6 +228,14 @@ def _shadow_factor(scene, lights: Lights, hit, normal, sample_ratio, time_ratio,
     return is_lit / jnp.maximum(lights.count.astype(jnp.float32), 1.0)
 
 
+def _surrounding_ri(scene, accel, point, time_ratio):
+    if accel is not None:
+        from raytracing_tests_tpu.bvh.traverse import traverse_point_ri
+
+        return traverse_point_ri(accel, scene, point, time_ratio)
+    return isect.surrounding_refractive_index(scene, point, time_ratio)
+
+
 def _nearest(scene, accel, o, d, time_ratio, t_limit):
     """Intersector dispatch: dense sweep or LBVH traversal (same Hit contract)."""
     if accel is not None:
@@ -258,9 +279,10 @@ def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp
     normal = hit.normal
     inner = linalg.dot(normal, d) > 0.0
 
-    sur_ri = isect.surrounding_refractive_index(
-        scene, hit_point + 1e-3 * normal, time_ratio
-    )
+    if cfg.has_dielectrics:
+        sur_ri = _surrounding_ri(scene, accel, hit_point + 1e-3 * normal, time_ratio)
+    else:
+        sur_ri = jnp.ones(hit_point.shape[0], jnp.float32)
 
     mat_color = _material_color(scene, hit)
     mat_ri = scene.refractive_index[hit.obj]
@@ -373,17 +395,27 @@ def trace_lanes(scene, lights, cfg: RenderConfig, o, d, time_ratio, sample_idx, 
         jnp.full((B,), cfg.t_max, jnp.float32),  # primary hit t
     )
 
-    def step(carry, _):
-        queue, state, rays = carry
+    # Most lanes' queues drain after 2-3 pops (sky lanes after 1), so the
+    # forward pass exits as soon as every queue is empty instead of running
+    # the full static pop budget.  while_loop is not reverse-mode
+    # differentiable, so gradient rendering falls back to a scan.
+    def step(carry):
+        queue, state, rays, k = carry
         n_active = jnp.sum((queue.size > 0).astype(jnp.int32))
         queue, state = _process_pop(
             scene, lights, cfg, queue, state, sample_idx, cfg.spp, time_ratio, accel
         )
-        return (queue, state, rays + n_active), None
+        return (queue, state, rays + n_active, k + 1)
 
-    (queue, state, rays), _ = jax.lax.scan(
-        step, (queue, state, jnp.int32(0)), None, length=cfg.pops
-    )
+    init = (queue, state, jnp.int32(0), jnp.int32(0))
+    if cfg.early_exit:
+        queue, state, rays, _ = jax.lax.while_loop(
+            lambda c: (c[3] < cfg.pops) & jnp.any(c[0].size > 0), step, init
+        )
+    else:
+        (queue, state, rays, _), _ = jax.lax.scan(
+            lambda c, _: (step(c), None), init, None, length=cfg.pops
+        )
     color, depth, done, primary_t = state
     return color, primary_t, rays
 
