@@ -36,8 +36,15 @@ def render_loss(
     lights: Optional[Lights] = None,
 ):
     """Mean-squared pixel error of the (possibly sharded) render vs target."""
-    if cfg.early_exit:  # while_loop is not reverse-differentiable
-        cfg = dataclasses.replace(cfg, early_exit=False)
+    if cfg.early_exit or cfg.intersector == "pallas":
+        # while_loop is not reverse-differentiable and the Pallas sweep has
+        # no VJP; gradient rendering uses the scan + dense-sweep formulation
+        # (identical outputs, tested).
+        cfg = dataclasses.replace(
+            cfg,
+            early_exit=False,
+            intersector="brute" if cfg.intersector == "pallas" else cfg.intersector,
+        )
     scene = apply_params(template, params)
     if mesh is not None:
         out = render_sharded(scene, camera, cfg, mesh, lights)

@@ -58,7 +58,7 @@ class RenderConfig:
     gamma: float = 2.0
     background: tuple = ((1.0, 1.0, 1.0), (0.3, 0.4, 1.0))  # bottom, top
     enable_lights: bool = True
-    intersector: str = "brute"  # 'brute' | 'bvh'
+    intersector: str = "brute"  # 'brute' | 'bvh' | 'pallas'
     show_normals: bool = False  # debug view (Sphere.cpp:54, groups.cpp:66)
     lane_chunk: Optional[int] = None  # bound peak memory: lanes per lax.map step
     # early_exit uses lax.while_loop to stop as soon as every ray queue
@@ -69,11 +69,18 @@ class RenderConfig:
     # has_dielectrics gates the O(N) surrounding-refractive-index sweep -- the
     # single most expensive per-pop op for scenes that never refract.
     has_dielectrics: bool = True
+    pallas_mode: str = "generic"  # 'spheres' | 'generic' (set via for_scene)
 
     def for_scene(self, scene) -> "RenderConfig":
         """Specialize static flags from a CONCRETE (non-traced) scene."""
+        from raytracing_tests_tpu.kernels.sweep import scene_mode
+
         refr = np.asarray(scene.refractivity) * np.asarray(scene.valid)
-        return dataclasses.replace(self, has_dielectrics=bool((refr > 0.002).any()))
+        return dataclasses.replace(
+            self,
+            has_dielectrics=bool((refr > 0.002).any()),
+            pallas_mode=scene_mode(scene),
+        )
 
     @property
     def pops(self) -> int:
@@ -194,13 +201,11 @@ def _background(cfg: RenderConfig, direction, has_lights: bool):
     return (1.0 - t) * bottom + t * top
 
 
-def _material_color(scene: Scene, hit: isect.Hit):
+def _material_color(scene: Scene, hit: isect.Hit, color, ti):
     """Albedo, cube-sphere-textured when the object has a texture index
     (03_Texturing glsl:353-414)."""
-    color = scene.color[hit.obj]
     if scene.textures is None:
         return color
-    ti = scene.texture_index[hit.obj]
     face, u, v = tex.cube_sphere_uv(hit.local_pos)
     tc = tex.sample_atlas(scene.textures, ti, face, u, v)
     return jnp.where((ti > 0)[:, None], color * tc, color)
@@ -228,51 +233,92 @@ def _shadow_factor(scene, lights: Lights, hit, normal, sample_ratio, time_ratio,
     return is_lit / jnp.maximum(lights.count.astype(jnp.float32), 1.0)
 
 
-def _surrounding_ri(scene, accel, point, time_ratio):
-    if accel is not None:
-        from raytracing_tests_tpu.bvh.traverse import traverse_point_ri
+def _is_pallas(accel) -> bool:
+    from raytracing_tests_tpu.kernels.sweep import PallasAccel
 
-        return traverse_point_ri(accel, scene, point, time_ratio)
-    return isect.surrounding_refractive_index(scene, point, time_ratio)
+    return isinstance(accel, PallasAccel)
+
+
+def _surrounding_ri(scene, accel, point, time_ratio):
+    if accel is None:
+        return isect.surrounding_refractive_index(scene, point, time_ratio)
+    if _is_pallas(accel):
+        from raytracing_tests_tpu.kernels.sweep import surrounding_ri_pallas
+
+        return surrounding_ri_pallas(accel, scene, point, time_ratio)
+    from raytracing_tests_tpu.bvh.traverse import traverse_point_ri
+
+    return traverse_point_ri(accel, scene, point, time_ratio)
 
 
 def _nearest(scene, accel, o, d, time_ratio, t_limit):
-    """Intersector dispatch: dense sweep or LBVH traversal (same Hit contract)."""
-    if accel is not None:
-        from raytracing_tests_tpu.bvh.traverse import traverse_nearest
+    """Intersector dispatch: dense sweep, Pallas sweep kernel, or LBVH
+    traversal (same Hit contract)."""
+    if accel is None:
+        return isect.intersect_brute(scene, o, d, time_ratio, t_limit)
+    if _is_pallas(accel):
+        from raytracing_tests_tpu.kernels.sweep import intersect_pallas
 
-        return traverse_nearest(accel, scene, o, d, time_ratio, t_limit)
-    return isect.intersect_brute(scene, o, d, time_ratio, t_limit)
+        return intersect_pallas(accel, scene, o, d, time_ratio, t_limit)
+    from raytracing_tests_tpu.bvh.traverse import traverse_nearest
+
+    return traverse_nearest(accel, scene, o, d, time_ratio, t_limit)
 
 
 def _nearest_obj(scene, accel, o, d, time_ratio, t_limit):
-    if accel is not None:
-        from raytracing_tests_tpu.bvh.traverse import traverse_nearest_obj
+    if accel is None:
+        return isect.occluded_nearest_obj(scene, o, d, time_ratio, t_limit)
+    if _is_pallas(accel):
+        from raytracing_tests_tpu.kernels.sweep import occluded_nearest_obj_pallas
 
-        return traverse_nearest_obj(accel, scene, o, d, time_ratio, t_limit)
-    return isect.occluded_nearest_obj(scene, o, d, time_ratio, t_limit)
+        return occluded_nearest_obj_pallas(accel, scene, o, d, time_ratio, t_limit)
+    from raytracing_tests_tpu.bvh.traverse import traverse_nearest_obj
+
+    return traverse_nearest_obj(accel, scene, o, d, time_ratio, t_limit)
 
 
-def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp, time_ratio, accel=None):
-    """One wavefront step: pop LIFO top of every lane, intersect, shade, spawn."""
-    color, depth, done, primary_t = state
-    queue, active, o, d, contrib, bounced = queue.pop()
-    active = active & ~done
+@struct.dataclass
+class ShadeResult:
+    """Everything one shading step produces for a batch of rays: color to
+    accumulate, spawned child rays, and bookkeeping.  Shared by the per-lane
+    queue renderer (below) and the compacting wavefront renderer
+    (``ops.wavefront``)."""
 
+    add_color: jnp.ndarray  # (C, 3) contribution to accumulate
+    set_white: jnp.ndarray  # (C,) emissive abort: sample becomes pure white
+    hit_t: jnp.ndarray  # (C,) hit distance (t_max convention on miss)
+    did_hit: jnp.ndarray  # (C,) bool (post-emissive-abort)
+    missed: jnp.ndarray  # (C,) bool
+    # children, refraction first (reference push order, LIFO pops reflect 1st)
+    refr_mask: jnp.ndarray
+    refr_o: jnp.ndarray
+    refr_d: jnp.ndarray
+    refr_contrib: jnp.ndarray
+    refl_mask: jnp.ndarray
+    refl_o: jnp.ndarray
+    refl_d: jnp.ndarray
+    refl_contrib: jnp.ndarray
+    bounced: jnp.ndarray  # (C,) child bounce count
+
+
+def shade_rays(scene, lights, cfg: RenderConfig, accel, o, d, contrib, bounced, active, sample_idx, time_ratio):
+    """Intersect + shade one batch of rays (the GLSL kernel body,
+    01_BVH glsl:415-594, minus the stack plumbing)."""
+    spp = cfg.spp
     t_limit = jnp.full(o.shape[0], cfg.t_max, jnp.float32)
-    hit = _nearest(scene, accel, o, d, time_ratio, t_limit)
+    if _is_pallas(accel):
+        from raytracing_tests_tpu.kernels.sweep import intersect_pallas_full
+
+        hit, flds = intersect_pallas_full(accel, scene, o, d, time_ratio, t_limit)
+    else:
+        hit = _nearest(scene, accel, o, d, time_ratio, t_limit)
+        flds = None
     did_hit = hit.hit & active
     missed = active & ~hit.hit
 
-    # Record primary-ray depth (bounce 0). The reference stores the mid
-    # sample's t (01_BVH glsl:655-657); we keep the primary hit t per sample.
-    is_primary = active & (bounced == 0)
-    primary_t = jnp.where(is_primary, jnp.where(hit.hit, hit.t, cfg.t_max), primary_t)
-
-    # Miss -> accumulate background.
+    # Miss -> background contribution.
     bg = _background(cfg, d, lights is not None)
-    color = color + jnp.where(missed[:, None], contrib[:, None] * bg, 0.0)
-    depth = jnp.where(missed, cfg.t_max, depth)
+    add_color = jnp.where(missed[:, None], contrib[:, None] * bg, 0.0)
 
     # --- hit shading ---------------------------------------------------------
     hit_point = o + hit.t[:, None] * d
@@ -284,19 +330,29 @@ def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp
     else:
         sur_ri = jnp.ones(hit_point.shape[0], jnp.float32)
 
-    mat_color = _material_color(scene, hit)
-    mat_ri = scene.refractive_index[hit.obj]
-    refractivity = scene.refractivity[hit.obj]
-    reflectivity = scene.reflectivity[hit.obj]
-    scat_rfr = scene.scatter_refract[hit.obj]
-    scat_rfl = scene.scatter_reflect[hit.obj]
+    if flds is None:
+        base_color, tex_idx = scene.color[hit.obj], scene.texture_index[hit.obj]
+        mat_ri = scene.refractive_index[hit.obj]
+        refractivity = scene.refractivity[hit.obj]
+        reflectivity = scene.reflectivity[hit.obj]
+        scat_rfr = scene.scatter_refract[hit.obj]
+        scat_rfl = scene.scatter_reflect[hit.obj]
+        emissive = scene.emissive[hit.obj]
+    else:  # pallas: all fields from one MXU gather
+        base_color, tex_idx = flds.color, flds.texture_index
+        mat_ri = flds.refractive_index
+        refractivity = flds.refractivity
+        reflectivity = flds.reflectivity
+        scat_rfr = flds.scatter_refract
+        scat_rfl = flds.scatter_reflect
+        emissive = flds.emissive
+    mat_color = _material_color(scene, hit, base_color, tex_idx)
 
     # Emissive abort: sample becomes pure white (lights glsl:662-666).
+    set_white = jnp.zeros(o.shape[0], bool)
     if lights is not None:
-        hit_emissive = did_hit & scene.emissive[hit.obj]
-        color = jnp.where(hit_emissive[:, None], jnp.ones_like(color), color)
-        done = done | hit_emissive
-        did_hit = did_hit & ~hit_emissive
+        set_white = did_hit & emissive
+        did_hit = did_hit & ~set_white
 
         lit = _shadow_factor(
             scene, lights, hit_point, normal, sample_idx / spp, time_ratio, accel
@@ -340,20 +396,55 @@ def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp
     spawn_refr = can_spawn & (linalg.dot(refr_dir, refr_dir) > 0.1)
     spawn_refl = can_spawn & (linalg.dot(refl_dir, refl_dir) > 0.1)
 
-    # Push refraction then reflection (reference order; LIFO pops reflect first).
-    queue = queue.push(
-        spawn_refr, hit_point - 1e-4 * normal_out, refr_dir, contrib * refractivity, bounced
-    )
-    queue = queue.push(
-        spawn_refl, hit_point + 1e-4 * normal_out, refl_dir, contrib * reflectivity, bounced
-    )
+    # Children inherit the UNDAMPED contribution (reference pushes before
+    # damping, 01_BVH glsl:553-592); the parent's own absorption term is then
+    # damped by half of what was forwarded.
+    refr_contrib = contrib * refractivity
+    refl_contrib = contrib * reflectivity
     forward = (
         jnp.where(spawn_refr, refractivity, 0.0) + jnp.where(spawn_refl, reflectivity, 0.0)
     )
     contrib = contrib * (1.0 - 0.5 * forward)
+    add_color = add_color + jnp.where(did_hit[:, None], contrib[:, None] * mat_color, 0.0)
 
-    color = color + jnp.where(did_hit[:, None], contrib[:, None] * mat_color, 0.0)
-    depth = jnp.where(did_hit, hit.t, depth)
+    return ShadeResult(
+        add_color=add_color,
+        set_white=set_white,
+        hit_t=jnp.where(hit.hit, hit.t, cfg.t_max),
+        did_hit=did_hit,
+        missed=missed,
+        refr_mask=spawn_refr,
+        refr_o=hit_point - 1e-4 * normal_out,
+        refr_d=refr_dir,
+        refr_contrib=refr_contrib,
+        refl_mask=spawn_refl,
+        refl_o=hit_point + 1e-4 * normal_out,
+        refl_d=refl_dir,
+        refl_contrib=refl_contrib,
+        bounced=bounced,
+    )
+
+
+def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp, time_ratio, accel=None):
+    """One queue step: pop LIFO top of every lane, shade, push children."""
+    color, depth, done, primary_t = state
+    queue, active, o, d, contrib, bounced = queue.pop()
+    active = active & ~done
+    is_primary = active & (bounced == 0)
+
+    r = shade_rays(
+        scene, lights, cfg, accel, o, d, contrib, bounced, active, sample_idx, time_ratio
+    )
+    # Push refraction then reflection (reference order; LIFO pops reflect first).
+    queue = queue.push(r.refr_mask, r.refr_o, r.refr_d, r.refr_contrib, r.bounced)
+    queue = queue.push(r.refl_mask, r.refl_o, r.refl_d, r.refl_contrib, r.bounced)
+
+    color = color + r.add_color
+    color = jnp.where(r.set_white[:, None], jnp.ones_like(color), color)
+    done = done | r.set_white
+    primary_t = jnp.where(is_primary, r.hit_t, primary_t)
+    depth = jnp.where(r.missed, cfg.t_max, depth)
+    depth = jnp.where(r.did_hit, r.hit_t, depth)
     return queue, (color, depth, done, primary_t)
 
 
@@ -363,11 +454,15 @@ def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp
 
 
 def _build_accel(scene, cfg: RenderConfig):
-    if cfg.intersector != "bvh":
-        return None
-    from raytracing_tests_tpu.bvh.build import build_lbvh
+    if cfg.intersector == "bvh":
+        from raytracing_tests_tpu.bvh.build import build_lbvh
 
-    return build_lbvh(scene)
+        return build_lbvh(scene)
+    if cfg.intersector == "pallas":
+        from raytracing_tests_tpu.kernels.sweep import make_accel
+
+        return make_accel(scene, cfg.pallas_mode)
+    return None
 
 
 def trace_lanes(scene, lights, cfg: RenderConfig, o, d, time_ratio, sample_idx, accel=None):
@@ -376,7 +471,7 @@ def trace_lanes(scene, lights, cfg: RenderConfig, o, d, time_ratio, sample_idx, 
     the rays actually processed (active pops) — the honest rays/s numerator.
     """
     B = o.shape[0]
-    if accel is None and cfg.intersector == "bvh":
+    if accel is None and cfg.intersector != "brute":
         accel = _build_accel(scene, cfg)
     if cfg.show_normals:
         t_limit = jnp.full((B,), cfg.t_max, jnp.float32)
@@ -508,7 +603,8 @@ def render_stats(scene, camera, cfg: RenderConfig, lights=None):
         )
         color = color.reshape(-1, 3)[:B]
         primary_t = primary_t.reshape(-1)[:B]
-        rays = jnp.sum(rays)
+        # Each zero-direction padding lane costs exactly one (missing) pop.
+        rays = jnp.sum(rays) - pad
     out = finalize(color.reshape(H, W, S, 3), primary_t.reshape(H, W, S), cfg)
     out["rays"] = rays
     return out

@@ -1,0 +1,179 @@
+"""Compacting wavefront renderer: the high-throughput forward path.
+
+The per-lane queue renderer (``ops.render``) is faithful to the reference's
+stack semantics but lockstep: every pop iteration processes ALL lanes even
+though most queues drain after 2-3 pops (measured ~2.6 active pops of ~9
+executed on the cover scene).  This renderer restructures the bounce loop the
+TPU-native way:
+
+  round 0   all primary rays, chunked, full occupancy
+  round k   only the rays actually spawned in round k-1, globally compacted
+            into a dense pool, chunked at full occupancy
+
+Per chunk: one Pallas sweep + shade (``ops.render.shade_rays``), scatter-add
+of contributions into the per-sample accumulator (0.08 ms / chunk measured on
+v5e), chunk-local cumsum+scatter compaction of spawned children (0.43 ms),
+and a ``dynamic_update_slice`` append into the next round's pool at a
+device-resident offset (one host sync per ROUND, not per chunk).
+
+Semantics vs the queue renderer: identical ray tree (same spawn rules, same
+bounce caps) traversed breadth-first instead of LIFO, so summed radiance is
+identical up to f32 addition order UNLESS the queue's capacity-5 drop rule
+triggers (deep dielectric trees) — the wavefront pool is far larger, so this
+renderer loses FEWER rays than the reference; parity tests pin scenes where
+no drops occur.  Emissive abort is order-independent here: lanes that ever
+hit an emitter are forced to pure white at the end (exactly the reference's
+"return white for this sample", lights glsl:662-666).  If a round's children
+overflow the pool, appends clamp to the tail region (late rays replace,
+rather than extend, the overflow set — the reference's stack drop is the
+same class of truncation).
+
+Not differentiable and not jittable end-to-end (host round loop): this is
+the production forward/benchmark path; use the queue renderer for gradients.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from raytracing_tests_tpu.ops.render import (
+    Lights,
+    RenderConfig,
+    _build_accel,
+    _lane_inputs,
+    finalize,
+    shade_rays,
+)
+from raytracing_tests_tpu.scene.types import Camera, Scene
+
+DEFAULT_CHUNK = 262144
+N_FIELDS = 8  # o(3) d(3) contrib bounced
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "is_primary_round", "n_lanes", "chunk"),
+    donate_argnums=(0, 1, 2, 3, 4),
+)
+def _chunk_step(
+    color,  # (B, 3) accumulator (donated)
+    white,  # (B,) f32 emissive-abort marker (donated)
+    primary_t,  # (B,) primary hit t (donated)
+    next_fields,  # (P, 8) next-round pool (donated)
+    next_lane,  # (P,) i32 (donated)
+    offset,  # () i32 device-resident pool write position
+    scene,
+    accel,
+    lights,
+    fields,  # (C, 8) chunk rays
+    lane,  # (C,) i32, -1 = padding
+    cfg: RenderConfig,
+    is_primary_round: bool,
+    n_lanes: int,
+    chunk: int,
+):
+    C = chunk
+    P = next_lane.shape[0]
+    o, d = fields[:, 0:3], fields[:, 3:6]
+    contrib, bounced = fields[:, 6], fields[:, 7].astype(jnp.int32)
+    active = lane >= 0
+    lane_safe = jnp.where(active, lane, n_lanes)  # OOB -> dropped by scatter
+    sample_idx = (lane % jnp.int32(cfg.spp)).astype(jnp.float32)
+    time_ratio = sample_idx / cfg.spp
+
+    r = shade_rays(
+        scene, lights, cfg, accel, o, d, contrib, bounced, active, sample_idx, time_ratio
+    )
+
+    color = color.at[lane_safe].add(r.add_color, mode="drop")
+    white = white.at[lane_safe].add(r.set_white.astype(jnp.float32), mode="drop")
+    if is_primary_round:
+        primary_t = primary_t.at[lane_safe].set(r.hit_t, mode="drop")
+
+    # Children: refraction then reflection (same spawn set as the queue).
+    ch_lane = jnp.concatenate(
+        [jnp.where(r.refr_mask, lane, -1), jnp.where(r.refl_mask, lane, -1)]
+    )
+    bf = r.bounced[:, None].astype(jnp.float32)
+    ch_fields = jnp.concatenate(
+        [
+            jnp.concatenate([r.refr_o, r.refr_d, r.refr_contrib[:, None], bf], axis=1),
+            jnp.concatenate([r.refl_o, r.refl_d, r.refl_contrib[:, None], bf], axis=1),
+        ]
+    )  # (2C, 8)
+
+    # Chunk-local compaction: valid children to the front, -1 lanes after.
+    valid = ch_lane >= 0
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    pos = jnp.where(valid, pos, 2 * C)  # invalid -> dropped by scatter
+    packed_fields = jnp.zeros((2 * C, N_FIELDS), jnp.float32).at[pos].set(
+        ch_fields, mode="drop"
+    )
+    packed_lane = jnp.full((2 * C,), -1, jnp.int32).at[pos].set(ch_lane, mode="drop")
+    n_children = jnp.sum(valid.astype(jnp.int32))
+
+    # Append into the pool at the running offset (clamped on overflow).
+    off = jnp.minimum(offset, P - 2 * C)
+    next_fields = jax.lax.dynamic_update_slice(next_fields, packed_fields, (off, 0))
+    next_lane = jax.lax.dynamic_update_slice(next_lane, packed_lane, (off,))
+    new_offset = jnp.minimum(offset + n_children, P - 2 * C)
+
+    n_active = jnp.sum(active.astype(jnp.int32))
+    return color, white, primary_t, next_fields, next_lane, new_offset, n_active
+
+
+def render_wavefront(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    lights: Optional[Lights] = None,
+    chunk: int = DEFAULT_CHUNK,
+    pool_capacity: Optional[int] = None,
+):
+    """Full render; returns dict(image, depth, rays) like ``render_stats``."""
+    H, W, S = cfg.height, cfg.width, cfg.spp
+    B = H * W * S
+    accel = _build_accel(scene, cfg)
+    o, d, _, _ = _lane_inputs(camera, cfg)
+
+    chunk = min(chunk, -(-B // 128) * 128)
+    # Pool: multiple of chunk, big enough for all primaries + one chunk slack.
+    P = pool_capacity or (-(-(B + 2 * chunk) // chunk) * chunk)
+
+    color = jnp.zeros((B, 3), jnp.float32)
+    white = jnp.zeros((B,), jnp.float32)
+    primary_t = jnp.full((B,), cfg.t_max, jnp.float32)
+
+    # Round 0 pool: primary rays, padded to P with lane = -1.
+    fields = jnp.zeros((P, N_FIELDS), jnp.float32)
+    fields = fields.at[:B, 0:3].set(o).at[:B, 3:6].set(d).at[:B, 6].set(1.0)
+    lane = jnp.full((P,), -1, jnp.int32).at[:B].set(jnp.arange(B, dtype=jnp.int32))
+    n = B
+    total_rays = jnp.int32(0)
+
+    for rnd in range(cfg.max_bounces + 1):
+        n_chunks = -(-n // chunk)
+        next_fields = jnp.zeros((P, N_FIELDS), jnp.float32)
+        next_lane = jnp.full((P,), -1, jnp.int32)
+        offset = jnp.int32(0)
+        for k in range(n_chunks):
+            f = fields[k * chunk : (k + 1) * chunk]
+            l = lane[k * chunk : (k + 1) * chunk]
+            color, white, primary_t, next_fields, next_lane, offset, n_act = _chunk_step(
+                color, white, primary_t, next_fields, next_lane, offset,
+                scene, accel, lights, f, l, cfg, rnd == 0, B, chunk,
+            )
+            total_rays = total_rays + n_act  # device-side accumulation
+        n = int(offset)  # the single per-round host sync
+        if n == 0 or rnd == cfg.max_bounces:
+            break
+        fields, lane = next_fields, next_lane
+
+    color = jnp.where((white > 0.0)[:, None], jnp.ones_like(color), color)
+    out = finalize(color.reshape(H, W, S, 3), primary_t.reshape(H, W, S), cfg)
+    out["rays"] = total_rays
+    return out

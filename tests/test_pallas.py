@@ -1,0 +1,126 @@
+"""Pallas sweep kernels (interpret mode on CPU) + the compacting wavefront
+renderer: parity with the XLA dense sweep and the queue renderer."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from raytracing_tests_tpu.kernels.sweep import (
+    intersect_pallas,
+    make_accel,
+    scene_mode,
+    surrounding_ri_pallas,
+)
+from raytracing_tests_tpu.ops.intersect import (
+    intersect_brute,
+    surrounding_refractive_index,
+)
+from raytracing_tests_tpu.ops.render import RenderConfig, extract_lights, render
+from raytracing_tests_tpu.ops.wavefront import render_wavefront
+from raytracing_tests_tpu.scene import examples
+
+SCENES = {
+    "materials": (examples.materials_scene, False),
+    "groups": (examples.groups_scene, False),
+    "motion": (examples.motion_blur_scene, False),
+    "bvh-grid": (lambda: examples.bvh_grid_scene(side=4), False),
+    "lights": (examples.lights_scene, True),
+}
+
+
+def _rays(rng, n, spread=6.0):
+    o = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_scene_mode_detection():
+    assert scene_mode(examples.materials_scene()[0]) == "spheres"
+    assert scene_mode(examples.iow_final_scene(side=3)[0]) == "spheres"
+    assert scene_mode(examples.groups_scene()[0]) == "generic"  # cuboids
+    assert scene_mode(examples.texturing_scene()[0]) == "spheres"  # unrotated
+
+
+@pytest.mark.parametrize("name", list(SCENES))
+def test_pallas_intersect_matches_brute(rng, name):
+    scene, _ = SCENES[name][0]()
+    accel = make_accel(scene)
+    o, d = _rays(rng, 512)
+    ratio = jnp.asarray(rng.uniform(0, 1, 512).astype(np.float32))
+    tl = jnp.full((512,), 32000.0)
+    hb = intersect_brute(scene, o, d, ratio, tl)
+    hp = intersect_pallas(accel, scene, o, d, ratio, tl)
+    np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(hp.hit))
+    m = np.asarray(hb.hit)
+    np.testing.assert_array_equal(np.asarray(hb.obj)[m], np.asarray(hp.obj)[m])
+    # The sphere kernel uses the world-space quadratic; the brute sweep scales
+    # into unit space first.  Equal math, different conditioning: on a
+    # radius-100 ground sphere a few rays land ~1e-3 apart in t.
+    rel = np.abs(np.asarray(hb.t)[m] - np.asarray(hp.t)[m]) / np.asarray(hb.t)[m]
+    assert (rel < 1e-4).mean() > 0.99, (rel < 1e-4).mean()
+    assert rel.max() < 1e-2, rel.max()
+    same_n = np.all(
+        np.isclose(np.asarray(hb.normal)[m], np.asarray(hp.normal)[m], atol=1e-4),
+        axis=-1,
+    )
+    assert same_n.mean() > 0.99
+
+
+def test_pallas_ri_matches_brute(rng):
+    scene, _ = examples.materials_scene()
+    accel = make_accel(scene)
+    pts = jnp.asarray(rng.uniform(-3, 3, (512, 3)).astype(np.float32))
+    ratio = jnp.zeros(512)
+    a = np.asarray(surrounding_refractive_index(scene, pts, ratio))
+    b = np.asarray(surrounding_ri_pallas(accel, scene, pts, ratio))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+@pytest.mark.parametrize("name", list(SCENES))
+def test_pallas_render_matches_brute(name):
+    scene_fn, use_lights = SCENES[name]
+    scene, cam = scene_fn()
+    lt = extract_lights(scene) if use_lights else None
+    cfg_b = RenderConfig(width=24, height=16, spp=2, max_bounces=3).for_scene(scene)
+    cfg_p = dataclasses.replace(cfg_b, intersector="pallas")
+    rb = render(scene, cam, cfg_b, lt)
+    rp = render(scene, cam, cfg_p, lt)
+    np.testing.assert_allclose(
+        np.asarray(rb["image"]), np.asarray(rp["image"]), atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("name", list(SCENES))
+def test_wavefront_matches_queue(name):
+    scene_fn, use_lights = SCENES[name]
+    scene, cam = scene_fn()
+    lt = extract_lights(scene) if use_lights else None
+    cfg = RenderConfig(
+        width=24, height=16, spp=2, max_bounces=3, intersector="pallas"
+    ).for_scene(scene)
+    rq = render(scene, cam, cfg, lt)
+    rw = render_wavefront(scene, cam, cfg, lt, chunk=512)
+    np.testing.assert_allclose(
+        np.asarray(rq["image"]), np.asarray(rw["image"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rq["depth"]), np.asarray(rw["depth"]), atol=1e-4
+    )
+    assert int(rw["rays"]) > 0
+
+
+def test_wavefront_tiny_chunk_edge():
+    """Chunk not dividing the lane count; lanes < one chunk."""
+    scene, cam = examples.materials_scene()
+    cfg = RenderConfig(
+        width=7, height=5, spp=3, max_bounces=3, intersector="pallas"
+    ).for_scene(scene)
+    rq = render(scene, cam, cfg)
+    rw = render_wavefront(scene, cam, cfg, chunk=256)
+    np.testing.assert_allclose(
+        np.asarray(rq["image"]), np.asarray(rw["image"]), atol=2e-5
+    )
