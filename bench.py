@@ -44,23 +44,29 @@ def main():
         spp=spp,
         max_bounces=8,
         lane_chunk=chunk,
-        intersector=os.environ.get("BENCH_INTERSECTOR", "bvh"),
+        intersector=os.environ.get("BENCH_INTERSECTOR", "pallas"),
     ).for_scene(scene)
+    renderer = os.environ.get("BENCH_RENDERER", "wavefront")
 
-    fn = jax.jit(lambda s, c: render_stats(s, c, cfg))
     scene = jax.device_put(scene)
     camera = jax.device_put(camera)
+    if renderer == "wavefront":
+        from raytracing_tests_tpu.ops.wavefront import render_wavefront
+
+        fn = lambda s, c: render_wavefront(s, c, cfg, chunk=chunk)
+    else:
+        fn = jax.jit(lambda s, c: render_stats(s, c, cfg))
 
     # Compile + warm up.
     out = fn(scene, camera)
-    jax.block_until_ready(out)
+    jax.block_until_ready(out["image"])
     rays = int(out["rays"])
 
     n_iters = 1 if smoke else 3
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = fn(scene, camera)
-        jax.block_until_ready(out)
+        jax.block_until_ready(out["image"])
     dt = (time.perf_counter() - t0) / n_iters
 
     mrays = rays / dt / 1e6
@@ -84,6 +90,8 @@ def main():
                 "device": str(jax.devices()[0]),
                 "platform": jax.devices()[0].platform,
                 "lane_chunk": chunk,
+                "renderer": renderer,
+                "intersector": cfg.intersector,
                 "mean_image": float(np.asarray(out["image"]).mean()),
             },
             f,

@@ -56,6 +56,10 @@ def _cmd_render(args):
         kw["show_normals"] = True
     if args.bvh:
         kw["intersector"] = "bvh"
+    if args.pallas:
+        kw["intersector"] = "pallas"
+    if args.wavefront:
+        kw["wavefront"] = True
     if args.mesh:
         from raytracing_tests_tpu.parallel import make_mesh
 
@@ -157,6 +161,8 @@ def main(argv=None):
     pr.add_argument("--bounces", type=int)
     pr.add_argument("--normals", action="store_true", help="debug normals view")
     pr.add_argument("--bvh", action="store_true", help="use the LBVH intersector")
+    pr.add_argument("--pallas", action="store_true", help="use the Pallas sweep kernels")
+    pr.add_argument("--wavefront", action="store_true", help="use the compacting wavefront renderer")
     pr.add_argument("--mesh", type=int, help="shard over N devices")
     pr.add_argument("--out", default="render.png")
     pr.add_argument("--depth-out", help="also write normalized depth PNG")

@@ -42,6 +42,7 @@ def _rt_run(scene_fn, defaults: dict, lights: bool = False):
         intersector: Optional[str] = None,
         lane_chunk: Optional[int] = None,
         mesh=None,
+        wavefront: bool = False,
         **scene_kw,
     ):
         scene, camera = scene_fn(**scene_kw)
@@ -60,6 +61,10 @@ def _rt_run(scene_fn, defaults: dict, lights: bool = False):
             from raytracing_tests_tpu.parallel import render_sharded_jit
 
             out = render_sharded_jit(scene, camera, cfg, mesh, lt)
+        elif wavefront:
+            from raytracing_tests_tpu.ops.wavefront import render_wavefront
+
+            out = render_wavefront(scene, camera, cfg, lt)
         else:
             out = render_jit(scene, camera, cfg, lt)
         return dict(out, scene=scene, camera=camera, cfg=cfg)
@@ -102,6 +107,12 @@ register(
     "cube-sphere textured objects: checker, simplex-noise and gradient atlases",
     reference="In-Next-Week/03_Solid_And_Noise_Textures",
 )(_rt_run(examples.texturing_scene, dict(spp=4)))
+
+register(
+    "texturing-image",
+    "image textures: procedural mercator planet (reprojected to cube atlas) + dice atlas",
+    reference="In-Next-Week/03 texturing.cpp:41 + utility.cpp:253-487",
+)(_rt_run(examples.texturing_image_scene, dict(spp=4)))
 
 register(
     "lights",

@@ -60,26 +60,35 @@ N_FIELDS = 8  # o(3) d(3) contrib bounced
     donate_argnums=(0, 1, 2, 3, 4),
 )
 def _chunk_step(
-    color,  # (B, 3) accumulator (donated)
+    color,  # (3, B) accumulator planes (donated)
     white,  # (B,) f32 emissive-abort marker (donated)
     primary_t,  # (B,) primary hit t (donated)
-    next_fields,  # (P, 8) next-round pool (donated)
+    next_fields,  # (8, P) next-round pool planes (donated)
     next_lane,  # (P,) i32 (donated)
     offset,  # () i32 device-resident pool write position
     scene,
     accel,
     lights,
-    fields,  # (C, 8) chunk rays
+    fields,  # (8, C) chunk ray planes
     lane,  # (C,) i32, -1 = padding
     cfg: RenderConfig,
     is_primary_round: bool,
     n_lanes: int,
     chunk: int,
 ):
+    """One chunk of one bounce round.
+
+    LAYOUT NOTE: every array here is SoA planes.  Stacking planes into
+    (C, 3) vectors is free on TPU (XLA assigns the transposed plane layout),
+    but scatters of such row-vectors hit a 3-strided slow path measured at
+    ~25 ms vs ~0.05 ms for plane-contiguous scatters — hence color is (3, B)
+    and the pool is (8, P), with every scatter running on a 1-D plane.
+    """
     C = chunk
     P = next_lane.shape[0]
-    o, d = fields[:, 0:3], fields[:, 3:6]
-    contrib, bounced = fields[:, 6], fields[:, 7].astype(jnp.int32)
+    o = jnp.stack([fields[0], fields[1], fields[2]], axis=1)
+    d = jnp.stack([fields[3], fields[4], fields[5]], axis=1)
+    contrib, bounced = fields[6], fields[7].astype(jnp.int32)
     active = lane >= 0
     lane_safe = jnp.where(active, lane, n_lanes)  # OOB -> dropped by scatter
     sample_idx = (lane % jnp.int32(cfg.spp)).astype(jnp.float32)
@@ -89,7 +98,9 @@ def _chunk_step(
         scene, lights, cfg, accel, o, d, contrib, bounced, active, sample_idx, time_ratio
     )
 
-    color = color.at[lane_safe].add(r.add_color, mode="drop")
+    color = color.at[0, lane_safe].add(r.add_color[:, 0], mode="drop")
+    color = color.at[1, lane_safe].add(r.add_color[:, 1], mode="drop")
+    color = color.at[2, lane_safe].add(r.add_color[:, 2], mode="drop")
     white = white.at[lane_safe].add(r.set_white.astype(jnp.float32), mode="drop")
     if is_primary_round:
         primary_t = primary_t.at[lane_safe].set(r.hit_t, mode="drop")
@@ -98,27 +109,31 @@ def _chunk_step(
     ch_lane = jnp.concatenate(
         [jnp.where(r.refr_mask, lane, -1), jnp.where(r.refl_mask, lane, -1)]
     )
-    bf = r.bounced[:, None].astype(jnp.float32)
-    ch_fields = jnp.concatenate(
-        [
-            jnp.concatenate([r.refr_o, r.refr_d, r.refr_contrib[:, None], bf], axis=1),
-            jnp.concatenate([r.refl_o, r.refl_d, r.refl_contrib[:, None], bf], axis=1),
-        ]
-    )  # (2C, 8)
+    bf = r.bounced.astype(jnp.float32)
+    ch_planes = [
+        jnp.concatenate([r.refr_o[:, 0], r.refl_o[:, 0]]),
+        jnp.concatenate([r.refr_o[:, 1], r.refl_o[:, 1]]),
+        jnp.concatenate([r.refr_o[:, 2], r.refl_o[:, 2]]),
+        jnp.concatenate([r.refr_d[:, 0], r.refl_d[:, 0]]),
+        jnp.concatenate([r.refr_d[:, 1], r.refl_d[:, 1]]),
+        jnp.concatenate([r.refr_d[:, 2], r.refl_d[:, 2]]),
+        jnp.concatenate([r.refr_contrib, r.refl_contrib]),
+        jnp.concatenate([bf, bf]),
+    ]
 
     # Chunk-local compaction: valid children to the front, -1 lanes after.
     valid = ch_lane >= 0
     pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
     pos = jnp.where(valid, pos, 2 * C)  # invalid -> dropped by scatter
-    packed_fields = jnp.zeros((2 * C, N_FIELDS), jnp.float32).at[pos].set(
-        ch_fields, mode="drop"
-    )
+    packed = jnp.stack(
+        [jnp.zeros((2 * C,), jnp.float32).at[pos].set(pl, mode="drop") for pl in ch_planes]
+    )  # (8, 2C)
     packed_lane = jnp.full((2 * C,), -1, jnp.int32).at[pos].set(ch_lane, mode="drop")
     n_children = jnp.sum(valid.astype(jnp.int32))
 
     # Append into the pool at the running offset (clamped on overflow).
     off = jnp.minimum(offset, P - 2 * C)
-    next_fields = jax.lax.dynamic_update_slice(next_fields, packed_fields, (off, 0))
+    next_fields = jax.lax.dynamic_update_slice(next_fields, packed, (0, off))
     next_lane = jax.lax.dynamic_update_slice(next_lane, packed_lane, (off,))
     new_offset = jnp.minimum(offset + n_children, P - 2 * C)
 
@@ -144,24 +159,26 @@ def render_wavefront(
     # Pool: multiple of chunk, big enough for all primaries + one chunk slack.
     P = pool_capacity or (-(-(B + 2 * chunk) // chunk) * chunk)
 
-    color = jnp.zeros((B, 3), jnp.float32)
+    color = jnp.zeros((3, B), jnp.float32)
     white = jnp.zeros((B,), jnp.float32)
     primary_t = jnp.full((B,), cfg.t_max, jnp.float32)
 
-    # Round 0 pool: primary rays, padded to P with lane = -1.
-    fields = jnp.zeros((P, N_FIELDS), jnp.float32)
-    fields = fields.at[:B, 0:3].set(o).at[:B, 3:6].set(d).at[:B, 6].set(1.0)
+    # Round 0 pool: primary rays as planes, padded to P with lane = -1.
+    fields = jnp.zeros((N_FIELDS, P), jnp.float32)
+    for i in range(3):
+        fields = fields.at[i, :B].set(o[:, i]).at[3 + i, :B].set(d[:, i])
+    fields = fields.at[6, :B].set(1.0)
     lane = jnp.full((P,), -1, jnp.int32).at[:B].set(jnp.arange(B, dtype=jnp.int32))
     n = B
     total_rays = jnp.int32(0)
 
     for rnd in range(cfg.max_bounces + 1):
         n_chunks = -(-n // chunk)
-        next_fields = jnp.zeros((P, N_FIELDS), jnp.float32)
+        next_fields = jnp.zeros((N_FIELDS, P), jnp.float32)
         next_lane = jnp.full((P,), -1, jnp.int32)
         offset = jnp.int32(0)
         for k in range(n_chunks):
-            f = fields[k * chunk : (k + 1) * chunk]
+            f = fields[:, k * chunk : (k + 1) * chunk]
             l = lane[k * chunk : (k + 1) * chunk]
             color, white, primary_t, next_fields, next_lane, offset, n_act = _chunk_step(
                 color, white, primary_t, next_fields, next_lane, offset,
@@ -173,7 +190,8 @@ def render_wavefront(
             break
         fields, lane = next_fields, next_lane
 
-    color = jnp.where((white > 0.0)[:, None], jnp.ones_like(color), color)
-    out = finalize(color.reshape(H, W, S, 3), primary_t.reshape(H, W, S), cfg)
+    color = jnp.where(white > 0.0, 1.0, color)  # emissive abort -> pure white
+    colors = jnp.moveaxis(color, 0, -1).reshape(H, W, S, 3)
+    out = finalize(colors, primary_t.reshape(H, W, S), cfg)
     out["rays"] = total_rays
     return out

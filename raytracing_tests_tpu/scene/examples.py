@@ -122,6 +122,46 @@ def texturing_scene(tex_size: int = 64):
     return b.build(), cam
 
 
+def texturing_image_scene(tex_size: int = 64):
+    """Image-textured spheres via the mercator->cubic remap (the reference's
+    ``earth.jpg`` path, ``texturing.cpp:41`` + ``utility.cpp:253-487``):
+    a procedural equirectangular 'planet' image is reprojected onto the
+    cube-sphere atlas, plus a dice-style direct cubic atlas."""
+    from raytracing_tests_tpu.scene import projection as proj
+
+    H, W = tex_size, 2 * tex_size
+    v, u = np.meshgrid(np.arange(H) / H, np.arange(W) / W, indexing="ij")
+    continents = (np.sin(u * 11.0) * np.cos(v * 7.0 + u * 3.0) + np.sin(v * 5.0)) > 0.35
+    merc = np.where(
+        continents[..., None],
+        np.stack([0.25 + 0.3 * v, 0.55 - 0.2 * v, 0.2 * np.ones_like(u)], -1),
+        np.stack([0.1 * np.ones_like(u), 0.25 + 0.2 * u, 0.65 - 0.2 * v], -1),
+    ).astype(np.float32)
+    atlas_from_merc = np.asarray(proj.mercator_to_cubic(merc, bilinear=True))
+
+    # dice-style cubic atlas: face index painted as brightness + pip color
+    fw = W // 6
+    dice = np.zeros((H, W, 3), np.float32)
+    for f in range(6):
+        dice[:, f * fw : (f + 1) * fw] = 0.15 + 0.14 * f
+        cx, cy = f * fw + fw // 2, H // 2
+        yy, xx = np.mgrid[0:H, 0:W]
+        pip = (xx - cx) ** 2 + (yy - cy) ** 2 < (fw // 5) ** 2
+        dice[pip] = (0.9, 0.1, 0.1)
+
+    b = SceneBuilder()
+    ti_planet = b.add_texture(atlas_from_merc)
+    ti_dice = b.add_texture(dice)
+    b.add_sphere((0.0, -100.5, -3.0), 100.0, color=(0.6, 0.6, 0.6),
+                 reflectivity=1.0, scatter_reflect=1.2)
+    b.add_sphere((-0.7, 0.0, -3.0), 0.6, color=(1.0, 1.0, 1.0),
+                 reflectivity=0.8, scatter_reflect=0.3, texture_index=ti_planet)
+    b.add_sphere((0.9, 0.0, -3.2), 0.6, color=(1.0, 1.0, 1.0),
+                 reflectivity=0.8, scatter_reflect=0.3, texture_index=ti_dice)
+    cam = Camera.make((0.0, 0.3, 0.5), (0.0, -0.08, -1.0), fov_y_deg=55.0, focus_dist=3.5)
+    return b.build(), cam
+
+
 def lights_scene():
     """Cornell-style: gray box room, two spheres, one emissive ceiling panel."""
     b = SceneBuilder()
