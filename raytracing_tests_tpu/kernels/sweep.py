@@ -231,6 +231,85 @@ def _nearest_kernel(mode: str, n_obj: int):
     return kernel
 
 
+def _nearest_ri_kernel(n_obj: int):
+    """Fused sphere-mode kernel: nearest hit AND surrounding-RI at the hit
+    point in one pass (saves a kernel launch + re-reading 7 lane planes).
+
+    Phase 1 tracks the winning sphere's motion-shifted center via selects, so
+    the RI query point ``hit + 1e-3 * normal`` is computable in-kernel with
+    no gather.  Miss lanes probe a far-away point -> no containment -> RI 1.
+    """
+
+    def kernel(table_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tr_ref, tlim_ref, t_out, obj_out, ri_out):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        omt = 1.0 - tr_ref[:]
+        table = table_ref
+        a = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30)
+
+        def body(i, carry):
+            t_best, obj_best, bcx, bcy, bcz = carry
+            cx = table[S_CX, i] - omt * table[S_DPX, i]  # motion-shifted center
+            cy = table[S_CY, i] - omt * table[S_DPY, i]
+            cz = table[S_CZ, i] - omt * table[S_DPZ, i]
+            rx, ry, rz = ox - cx, oy - cy, oz - cz
+            half_b = rx * dx + ry * dy + rz * dz
+            c = rx * rx + ry * ry + rz * rz - table[S_R2, i]
+            disc = half_b * half_b - a * c
+            ok = disc > 0.0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            inv_a = pl.reciprocal(a, approx=False)
+            t0 = (-half_b - sq) * inv_a
+            t1 = (-half_b + sq) * inv_a
+            t = jnp.where((t0 > t1) | (t0 < 0.0), t1, t0)
+            t = jnp.where(ok & (t > 0.0) & (table[S_VALID, i] > 0.0), t, BIG_T)
+            better = t < t_best
+            return (
+                jnp.where(better, t, t_best),
+                jnp.where(better, i, obj_best),
+                jnp.where(better, cx, bcx),
+                jnp.where(better, cy, bcy),
+                jnp.where(better, cz, bcz),
+            )
+
+        zeros = jnp.zeros(ox.shape, jnp.float32)
+        t0v = jnp.minimum(jnp.full(ox.shape, BIG_T), tlim_ref[:])
+        o0 = jnp.full(ox.shape, -1, jnp.int32)
+        t_best, obj_best, bcx, bcy, bcz = jax.lax.fori_loop(
+            0, n_obj, body, (t0v, o0, zeros, zeros, zeros)
+        )
+
+        # RI query point: hit + 1e-3 * unit(hit - center).
+        px = ox + t_best * dx
+        py = oy + t_best * dy
+        pz = oz + t_best * dz
+        nx, ny, nz = px - bcx, py - bcy, pz - bcz
+        inv_n = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+        qx = px + 1e-3 * nx * inv_n
+        qy = py + 1e-3 * ny * inv_n
+        qz = pz + 1e-3 * nz * inv_n
+
+        def ri_body(i, carry):
+            acc, cnt = carry
+            rx = qx - table[S_CX, i] + omt * table[S_DPX, i]
+            ry = qy - table[S_CY, i] + omt * table[S_DPY, i]
+            rz = qz - table[S_CZ, i] + omt * table[S_DPZ, i]
+            inside = (rx * rx + ry * ry + rz * rz <= table[S_R2, i]) & (
+                table[S_VALID, i] > 0.0
+            )
+            return acc + jnp.where(inside, table[S_RI, i], 0.0), cnt + inside.astype(
+                jnp.float32
+            )
+
+        acc, cnt = jax.lax.fori_loop(0, n_obj, ri_body, (zeros, zeros))
+        t_out[:] = t_best
+        obj_out[:] = obj_best
+        ri_out[:] = jnp.where(acc > 1.0, acc / jnp.maximum(cnt, 1.0), 1.0)
+
+    return kernel
+
+
 def _ri_kernel(mode: str, n_obj: int):
     """Surrounding-RI point sweep: accumulate RI of containing objects."""
 
@@ -312,6 +391,20 @@ def sweep_nearest(table, mode: str, o, d, time_ratio, t_limit, rb: int = DEFAULT
         _nearest_kernel(mode, n_obj), 2, (jnp.float32, jnp.int32), table, planes, rb
     )
     return t.reshape(-1)[:B], obj.reshape(-1)[:B]
+
+
+def sweep_nearest_ri(table, o, d, time_ratio, t_limit, rb: int = DEFAULT_RB):
+    """Fused sphere-mode sweep: (t, obj, surrounding_ri) in one kernel."""
+    n_obj = table.shape[1]
+    planes, B, _ = _pad_lanes(
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], time_ratio, t_limit],
+        rb,
+    )
+    t, obj, ri = _run_sweep(
+        _nearest_ri_kernel(n_obj), 3, (jnp.float32, jnp.int32, jnp.float32),
+        table, planes, rb,
+    )
+    return t.reshape(-1)[:B], obj.reshape(-1)[:B], ri.reshape(-1)[:B]
 
 
 def sweep_ri(table, mode: str, point, time_ratio, rb: int = DEFAULT_RB):
@@ -431,6 +524,10 @@ def intersect_pallas_full(accel: PallasAccel, scene: Scene, o, d, time_ratio, t_
     ``intersect_brute`` exactly; HitFields replaces the shading-side
     per-field gathers."""
     t, obj = sweep_nearest(accel.table, accel.mode, o, d, time_ratio, t_limit)
+    return _finish_hit(accel, o, d, time_ratio, t, obj)
+
+
+def _finish_hit(accel: PallasAccel, o, d, time_ratio, t, obj):
     hit = obj >= 0
     obj_s = jnp.maximum(obj, 0)
     t_safe = jnp.where(hit, t, 1.0)
@@ -475,6 +572,20 @@ def intersect_pallas_full(accel: PallasAccel, scene: Scene, o, d, time_ratio, t_
 def intersect_pallas(accel: PallasAccel, scene: Scene, o, d, time_ratio, t_limit) -> Hit:
     """Same Hit contract as ``intersect_brute``."""
     return intersect_pallas_full(accel, scene, o, d, time_ratio, t_limit)[0]
+
+
+def intersect_pallas_fused(accel: PallasAccel, scene: Scene, o, d, time_ratio, t_limit):
+    """(Hit, HitFields, surrounding_ri) — one fused kernel in sphere mode,
+    separate sweeps otherwise."""
+    if accel.mode != "spheres":
+        hit, flds = intersect_pallas_full(accel, scene, o, d, time_ratio, t_limit)
+        hp = o + hit.t[:, None] * d
+        ri = surrounding_ri_pallas(accel, scene, hp + 1e-3 * hit.normal, time_ratio)
+        return hit, flds, ri
+
+    t, obj, ri = sweep_nearest_ri(accel.table, o, d, time_ratio, t_limit)
+    hit, flds = _finish_hit(accel, o, d, time_ratio, t, obj)
+    return hit, flds, ri
 
 
 def occluded_nearest_obj_pallas(accel: PallasAccel, scene: Scene, o, d, time_ratio, t_limit):

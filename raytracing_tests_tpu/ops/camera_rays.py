@@ -20,12 +20,16 @@ from raytracing_tests_tpu.scene.types import Camera
 WORLD_UP = jnp.array([0.0, 1.0, 0.0], jnp.float32)
 
 
-def primary_rays(camera: Camera, width: int, height: int, spp: int):
+def primary_rays(camera: Camera, width: int, height: int, spp: int, aa_grid: bool = False):
     """Generate per-(pixel, sample) camera rays.
 
     Returns (origin, direction, time_ratio) each of shape (H, W, S, 3|).
     ``time_ratio = s / S`` is the motion-blur time coordinate the reference
     derives from ``gl_LocalInvocationIndex``.
+
+    ``aa_grid=True`` jitters each sample's screen position on the reference's
+    diagonal-scan supersampling grid (IOW-02 ``02_Groups/computeShaderSrc.
+    glsl:135-157``) — anti-aliasing on top of the DOF sunflower.
     """
     aspect = width / height
     screen_dist = 1.0 / (2.0 * jnp.tan(camera.fov_y * 0.5))
@@ -35,6 +39,20 @@ def primary_rays(camera: Camera, width: int, height: int, spp: int):
 
     cam_right = linalg.cross(camera.direction, WORLD_UP)  # unnormalized, like ref
     cam_up = linalg.cross(cam_right, camera.direction)
+
+    if aa_grid:
+        cells, grid = sampling.supersample_grid_offsets(spp)  # (S, 2) ints
+        jx = (jnp.asarray(cells[:, 0], jnp.float32) + 0.5) / grid - 0.5  # (S,)
+        jy = (jnp.asarray(cells[:, 1], jnp.float32) + 0.5) / grid - 0.5
+        px_s = px[None, :, None] + jx[None, None, :] / width * aspect  # (1, W, S)
+        py_s = py[:, None, None] + jy[None, None, :] / height  # (H, 1, S)
+        base_dir = (
+            camera.direction * screen_dist
+            + cam_right * px_s[..., None]
+            + cam_up * py_s[..., None]
+        )  # (H, W, S, 3)
+        base_dir = linalg.normalize(base_dir)
+        return _dof_rays(camera, base_dir, spp, per_sample_dir=True)
 
     base_dir = (
         camera.direction * screen_dist
@@ -55,9 +73,33 @@ def primary_rays(camera: Camera, width: int, height: int, spp: int):
         + ray_right[..., None, :] * offset[:, 0, None]
         + ray_up[..., None, :] * offset[:, 1, None]
     )  # (H, W, S, 3)
-    look_at = camera.position + base_dir * camera.focus_dist[0]
-    d = linalg.normalize(look_at[..., None, :] - new_tip)
+    # Multi-focus: sample s focuses at focus_dist[s % K] (the reference's
+    # u_NumOfFocusDist array, In-Next-Week/base.h:152-168 + #if MULTIFOCUS
+    # path 01_BVH glsl:389-409); K = 1 reduces to the single-focus path.
+    fd = camera.focus_dist[(jnp.arange(spp) % camera.focus_dist.shape[0])]  # (S,)
+    look_at = camera.position + base_dir[..., None, :] * fd[:, None]  # (H, W, S, 3)
+    d = linalg.normalize(look_at - new_tip)
     o = new_tip - d
 
+    time_ratio = jnp.broadcast_to(s / spp, o.shape[:-1])
+    return o, d, time_ratio
+
+
+def _dof_rays(camera: Camera, base_dir, spp: int, per_sample_dir: bool):
+    """Thin-lens DOF for per-sample base directions (H, W, S, 3)."""
+    s = jnp.arange(spp, dtype=jnp.float32)
+    offset = sampling.sunflower_disc(s, spp, camera.aperture)  # (S, 2)
+    ray_right = linalg.cross(base_dir, jnp.broadcast_to(WORLD_UP, base_dir.shape))
+    ray_up = linalg.cross(ray_right, base_dir)
+    new_tip = (
+        camera.position
+        + base_dir
+        + ray_right * offset[:, 0, None]
+        + ray_up * offset[:, 1, None]
+    )
+    fd = camera.focus_dist[(jnp.arange(spp) % camera.focus_dist.shape[0])]
+    look_at = camera.position + base_dir * fd[:, None]
+    d = linalg.normalize(look_at - new_tip)
+    o = new_tip - d
     time_ratio = jnp.broadcast_to(s / spp, o.shape[:-1])
     return o, d, time_ratio

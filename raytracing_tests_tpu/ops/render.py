@@ -61,6 +61,7 @@ class RenderConfig:
     intersector: str = "brute"  # 'brute' | 'bvh' | 'pallas'
     show_normals: bool = False  # debug view (Sphere.cpp:54, groups.cpp:66)
     lane_chunk: Optional[int] = None  # bound peak memory: lanes per lax.map step
+    aa_grid: bool = False  # sub-pixel supersampling grid (IOW-02 AA)
     # early_exit uses lax.while_loop to stop as soon as every ray queue
     # drains (big forward-pass win) but while_loop is not reverse-mode
     # differentiable -- diff/ flips this off automatically.
@@ -306,10 +307,18 @@ def shade_rays(scene, lights, cfg: RenderConfig, accel, o, d, contrib, bounced, 
     01_BVH glsl:415-594, minus the stack plumbing)."""
     spp = cfg.spp
     t_limit = jnp.full(o.shape[0], cfg.t_max, jnp.float32)
+    sur_ri_fused = None
     if _is_pallas(accel):
-        from raytracing_tests_tpu.kernels.sweep import intersect_pallas_full
+        if cfg.has_dielectrics:
+            from raytracing_tests_tpu.kernels.sweep import intersect_pallas_fused
 
-        hit, flds = intersect_pallas_full(accel, scene, o, d, time_ratio, t_limit)
+            hit, flds, sur_ri_fused = intersect_pallas_fused(
+                accel, scene, o, d, time_ratio, t_limit
+            )
+        else:
+            from raytracing_tests_tpu.kernels.sweep import intersect_pallas_full
+
+            hit, flds = intersect_pallas_full(accel, scene, o, d, time_ratio, t_limit)
     else:
         hit = _nearest(scene, accel, o, d, time_ratio, t_limit)
         flds = None
@@ -325,7 +334,9 @@ def shade_rays(scene, lights, cfg: RenderConfig, accel, o, d, contrib, bounced, 
     normal = hit.normal
     inner = linalg.dot(normal, d) > 0.0
 
-    if cfg.has_dielectrics:
+    if sur_ri_fused is not None:
+        sur_ri = sur_ri_fused
+    elif cfg.has_dielectrics:
         sur_ri = _surrounding_ri(scene, accel, hit_point + 1e-3 * normal, time_ratio)
     else:
         sur_ri = jnp.ones(hit_point.shape[0], jnp.float32)
@@ -518,7 +529,7 @@ def trace_lanes(scene, lights, cfg: RenderConfig, o, d, time_ratio, sample_idx, 
 def _lane_inputs(camera, cfg: RenderConfig):
     """Flattened per-lane primary rays + sample metadata."""
     H, W, S = cfg.height, cfg.width, cfg.spp
-    o, d, time_ratio = primary_rays(camera, W, H, S)
+    o, d, time_ratio = primary_rays(camera, W, H, S, cfg.aa_grid)
     B = H * W * S
     sample_idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.float32), (H, W, S))
     return (
