@@ -71,6 +71,7 @@ class RenderConfig:
     # single most expensive per-pop op for scenes that never refract.
     has_dielectrics: bool = True
     pallas_mode: str = "generic"  # 'spheres' | 'generic' (set via for_scene)
+    pallas_groups: int = 32  # group size for block-level culling (0 = off)
 
     def for_scene(self, scene) -> "RenderConfig":
         """Specialize static flags from a CONCRETE (non-traced) scene."""
@@ -472,7 +473,7 @@ def _build_accel(scene, cfg: RenderConfig):
     if cfg.intersector == "pallas":
         from raytracing_tests_tpu.kernels.sweep import make_accel
 
-        return make_accel(scene, cfg.pallas_mode)
+        return make_accel(scene, cfg.pallas_mode, group=cfg.pallas_groups)
     return None
 
 

@@ -56,7 +56,7 @@ N_FIELDS = 8  # o(3) d(3) contrib bounced
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "contiguous_from", "n_lanes", "chunk"),
+    static_argnames=("cfg", "is_primary_round", "n_lanes", "chunk"),
     donate_argnums=(0, 1, 2, 3, 4),
 )
 def _chunk_step(
@@ -72,7 +72,7 @@ def _chunk_step(
     fields,  # (8, C) chunk ray planes
     lane,  # (C,) i32, -1 = padding
     cfg: RenderConfig,
-    contiguous_from,  # static: round-0 chunk start lane, or None
+    is_primary_round: bool,
     n_lanes: int,
     chunk: int,
 ):
@@ -97,36 +97,26 @@ def _chunk_step(
         scene, lights, cfg, accel, o, d, contrib, bounced, active, sample_idx, time_ratio
     )
 
-    if contiguous_from is not None:
-        # Round 0: lanes are [contiguous_from, contiguous_from + C) in order —
-        # accumulate with dense slice updates instead of scatters.
-        at = contiguous_from
-        for c in range(3):
-            color = color.at[c].set(
-                jax.lax.dynamic_update_slice(
-                    color[c],
-                    jax.lax.dynamic_slice(color[c], (at,), (C,)) + r.add_color[:, c],
-                    (at,),
-                )
-            )
-        white = jax.lax.dynamic_update_slice(
-            white, r.set_white.astype(jnp.float32), (at,)
+    # One fused scatter for r, g, b, white: flat (4P,) buffer indexing.
+    # (A "dense slice update" variant for the contiguous round-0 lanes was
+    # measured at 8.5 s/call on v5e — XLA lowers the read-modify-write row
+    # chain pathologically — while this scatter path costs ~1 ms.)
+    lane_safe = jnp.where(active, lane, 4 * n_lanes)  # OOB marker -> drop
+    idx = jnp.concatenate(
+        [lane_safe, lane_safe + n_lanes, lane_safe + 2 * n_lanes, lane_safe + 3 * n_lanes]
+    )
+    upd = jnp.concatenate(
+        [r.add_color[:, 0], r.add_color[:, 1], r.add_color[:, 2],
+         r.set_white.astype(jnp.float32)]
+    )
+    flat = jnp.concatenate([color.reshape(-1), white])
+    flat = flat.at[idx].add(upd, mode="drop")
+    color = flat[: 3 * n_lanes].reshape(3, n_lanes)
+    white = flat[3 * n_lanes :]
+    if is_primary_round:
+        primary_t = primary_t.at[jnp.where(active, lane, n_lanes)].set(
+            r.hit_t, mode="drop"
         )
-        primary_t = jax.lax.dynamic_update_slice(primary_t, r.hit_t, (at,))
-    else:
-        # One fused scatter for r, g, b, white: flat (4B,) buffer indexing.
-        lane_safe = jnp.where(active, lane, 4 * n_lanes)  # OOB marker -> drop
-        idx = jnp.concatenate(
-            [lane_safe, lane_safe + n_lanes, lane_safe + 2 * n_lanes, lane_safe + 3 * n_lanes]
-        )
-        upd = jnp.concatenate(
-            [r.add_color[:, 0], r.add_color[:, 1], r.add_color[:, 2],
-             r.set_white.astype(jnp.float32)]
-        )
-        flat = jnp.concatenate([color.reshape(-1), white])
-        flat = flat.at[idx].add(upd, mode="drop")
-        color = flat[: 3 * n_lanes].reshape(3, n_lanes)
-        white = flat[3 * n_lanes :]
 
     # Children: refraction then reflection (same spawn set as the queue).
     ch_lane = jnp.concatenate(
@@ -206,8 +196,7 @@ def render_wavefront(
             l = lane[k * chunk : (k + 1) * chunk]
             color, white, primary_t, next_fields, next_lane, offset, n_act = _chunk_step(
                 color, white, primary_t, next_fields, next_lane, offset,
-                scene, accel, lights, f, l, cfg,
-                k * chunk if rnd == 0 else None, P, chunk,
+                scene, accel, lights, f, l, cfg, rnd == 0, P, chunk,
             )
             total_rays = total_rays + n_act  # device-side accumulation
         n = int(offset)  # the single per-round host sync

@@ -112,3 +112,35 @@ def test_throughput_meter():
     with m.frame(1_000_000):
         pass
     assert m.rays == 1_000_000 and m.mrays_per_s > 0
+
+
+def test_keep_last_good_rejects_nan_step():
+    from raytracing_tests_tpu.utils.resilience import KeepLastGood
+
+    state = {"w": jnp.ones(3)}
+    guard = KeepLastGood(state)
+
+    s1, loss = guard.step(lambda s: ({"w": s["w"] * 2.0}, 0.5))
+    assert float(s1["w"][0]) == 2.0
+    s2, loss = guard.step(lambda s: ({"w": s["w"] * float("nan")}, 0.1))
+    assert float(s2["w"][0]) == 2.0 and guard.rejected == 1
+
+
+def test_retry_on_device_error_passes_through():
+    from raytracing_tests_tpu.utils.resilience import retry_on_device_error
+
+    calls = []
+
+    def fn(x):
+        calls.append(x)
+        return x + 1
+
+    assert retry_on_device_error(fn)(41) == 42
+
+    def boom(_):
+        raise ValueError("deterministic")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retry_on_device_error(boom)(0)
