@@ -46,11 +46,15 @@ def main():
         lane_chunk=chunk,
         intersector=os.environ.get("BENCH_INTERSECTOR", "pallas"),
     ).for_scene(scene)
-    renderer = os.environ.get("BENCH_RENDERER", "wavefront")
+    renderer = os.environ.get("BENCH_RENDERER", "workqueue")
 
     scene = jax.device_put(scene)
     camera = jax.device_put(camera)
-    if renderer == "wavefront":
+    if renderer == "workqueue":
+        from raytracing_tests_tpu.ops.workqueue import render_workqueue
+
+        fn = lambda s, c: render_workqueue(s, c, cfg, chunk=chunk)
+    elif renderer == "wavefront":
         from raytracing_tests_tpu.ops.wavefront import render_wavefront
 
         fn = lambda s, c: render_wavefront(s, c, cfg, chunk=chunk)

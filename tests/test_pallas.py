@@ -124,3 +124,37 @@ def test_wavefront_tiny_chunk_edge():
     np.testing.assert_allclose(
         np.asarray(rq["image"]), np.asarray(rw["image"]), atol=2e-5
     )
+
+
+@pytest.mark.parametrize("name", list(SCENES))
+def test_workqueue_matches_queue(name):
+    from raytracing_tests_tpu.ops.workqueue import render_workqueue
+
+    scene_fn, use_lights = SCENES[name]
+    scene, cam = scene_fn()
+    lt = extract_lights(scene) if use_lights else None
+    cfg = RenderConfig(
+        width=24, height=16, spp=2, max_bounces=3, intersector="pallas"
+    ).for_scene(scene)
+    rq = render(scene, cam, cfg, lt)
+    rw = render_workqueue(scene, cam, cfg, lt, chunk=512)
+    np.testing.assert_allclose(
+        np.asarray(rq["image"]), np.asarray(rw["image"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rq["depth"]), np.asarray(rw["depth"]), atol=1e-4
+    )
+
+
+def test_workqueue_odd_sizes():
+    from raytracing_tests_tpu.ops.workqueue import render_workqueue
+
+    scene, cam = examples.materials_scene()
+    cfg = RenderConfig(
+        width=7, height=5, spp=3, max_bounces=4, intersector="pallas"
+    ).for_scene(scene)
+    rq = render(scene, cam, cfg)
+    rw = render_workqueue(scene, cam, cfg, chunk=256)
+    np.testing.assert_allclose(
+        np.asarray(rq["image"]), np.asarray(rw["image"]), atol=2e-5
+    )
