@@ -36,7 +36,7 @@ def main():
     else:
         width, height, spp = 800, 450, int(os.environ.get("BENCH_SPP", 100))
         scene, camera = examples.iow_final_scene()
-        chunk = int(os.environ.get("BENCH_CHUNK", 65536))
+        chunk = int(os.environ.get("BENCH_CHUNK", 1048576))
 
     cfg = RenderConfig(
         width=width,
@@ -46,7 +46,7 @@ def main():
         lane_chunk=chunk,
         intersector=os.environ.get("BENCH_INTERSECTOR", "pallas"),
     ).for_scene(scene)
-    renderer = os.environ.get("BENCH_RENDERER", "workqueue")
+    renderer = os.environ.get("BENCH_RENDERER", "queue")
 
     scene = jax.device_put(scene)
     camera = jax.device_put(camera)

@@ -137,6 +137,26 @@ def _cmd_train(args):
         log.info("wrote %s/{target,final}.png", args.out_dir)
 
 
+def _cmd_info(_args):
+    """Device capability readout — the analogue of CS-00's max-workgroup
+    queries shown in its ImGui panel (basic_compute_shader.cpp:122-132)."""
+    import jax
+
+    print(f"backend: {jax.default_backend()}")
+    print(f"process {jax.process_index()} of {jax.process_count()}")
+    for dev in jax.devices():
+        print(f"  {dev.id}: {dev.device_kind} platform={dev.platform} "
+              f"host={dev.process_index}")
+        stats = getattr(dev, "memory_stats", lambda: None)()
+        if stats:
+            gb = 1 << 30
+            print(f"     hbm: {stats.get('bytes_in_use', 0)/gb:.2f} GiB in use / "
+                  f"{stats.get('bytes_limit', 0)/gb:.2f} GiB")
+    from raytracing_tests_tpu import native
+
+    print(f"native host runtime: {'available' if native.available() else 'unavailable'}")
+
+
 def _cmd_bench(args):
     import os
     import runpy
@@ -152,6 +172,7 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("list", help="list registered workloads")
+    sub.add_parser("info", help="device / backend capability readout")
 
     pr = sub.add_parser("render", help="render one workload to PNG")
     pr.add_argument("workload")
@@ -185,9 +206,13 @@ def main(argv=None):
     pb.add_argument("--smoke", action="store_true")
 
     args = p.parse_args(argv)
-    {"list": _cmd_list, "render": _cmd_render, "train": _cmd_train, "bench": _cmd_bench}[
-        args.cmd
-    ](args)
+    {
+        "list": _cmd_list,
+        "info": _cmd_info,
+        "render": _cmd_render,
+        "train": _cmd_train,
+        "bench": _cmd_bench,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -310,7 +310,8 @@ def _nearest_ri_kernel(n_obj: int):
     return kernel
 
 
-def _grouped_nearest_ri_kernel(n_obj: int, n_groups: int, group: int, with_ri: bool):
+def _grouped_nearest_ri_kernel(n_obj: int, n_groups: int, group: int, with_ri: bool,
+                               has_motion: bool = True):
     """Two-level sphere sweep: Morton-ordered object GROUPS with precomputed
     AABBs; a whole lane block skips a group when no lane's ray enters its
     AABB (``@pl.when`` on a block-wide any()).
@@ -364,9 +365,14 @@ def _grouped_nearest_ri_kernel(n_obj: int, n_groups: int, group: int, with_ri: b
             def _():
                 def obj_body(j, _):
                     i = g * group + j
-                    cx = table[S_CX, i] - omt * table[S_DPX, i]
-                    cy = table[S_CY, i] - omt * table[S_DPY, i]
-                    cz = table[S_CZ, i] - omt * table[S_DPZ, i]
+                    if has_motion:
+                        cx = table[S_CX, i] - omt * table[S_DPX, i]
+                        cy = table[S_CY, i] - omt * table[S_DPY, i]
+                        cz = table[S_CZ, i] - omt * table[S_DPZ, i]
+                    else:  # static scene: skip 6 broadcast FMAs per object
+                        cx = table[S_CX, i]
+                        cy = table[S_CY, i]
+                        cz = table[S_CZ, i]
                     rx, ry, rz = ox - cx, oy - cy, oz - cz
                     half_b = rx * dx + ry * dy + rz * dz
                     c = rx * rx + ry * ry + rz * rz - table[S_R2, i]
@@ -423,9 +429,14 @@ def _grouped_nearest_ri_kernel(n_obj: int, n_groups: int, group: int, with_ri: b
                 def _():
                     def ri_obj(j, _):
                         i = g * group + j
-                        rx = qx - table[S_CX, i] + omt * table[S_DPX, i]
-                        ry = qy - table[S_CY, i] + omt * table[S_DPY, i]
-                        rz = qz - table[S_CZ, i] + omt * table[S_DPZ, i]
+                        if has_motion:
+                            rx = qx - table[S_CX, i] + omt * table[S_DPX, i]
+                            ry = qy - table[S_CY, i] + omt * table[S_DPY, i]
+                            rz = qz - table[S_CZ, i] + omt * table[S_DPZ, i]
+                        else:
+                            rx = qx - table[S_CX, i]
+                            ry = qy - table[S_CY, i]
+                            rz = qz - table[S_CZ, i]
                         inside = (
                             rx * rx + ry * ry + rz * rz <= table[S_R2, i]
                         ) & (table[S_VALID, i] > 0.0)
@@ -545,7 +556,7 @@ def sweep_nearest_ri(table, o, d, time_ratio, t_limit, rb: int = DEFAULT_RB):
 
 
 def sweep_grouped(table, gaabb, o, d, time_ratio, t_limit, group: int,
-                  with_ri: bool, rb: int = DEFAULT_RB):
+                  with_ri: bool, rb: int = DEFAULT_RB, has_motion: bool = True):
     """Grouped two-level sphere sweep -> (t, obj_sorted, ri)."""
     n_obj = table.shape[1]
     n_groups = gaabb.shape[1]
@@ -560,7 +571,7 @@ def sweep_grouped(table, gaabb, o, d, time_ratio, t_limit, group: int,
     scratch.insert(1, pltpu.VMEM((rb, LANE), jnp.int32))  # t, obj, bcx..
     scratch += [pltpu.VMEM((rb, LANE), jnp.float32) for _ in range(4)]
     t, obj, ri = pl.pallas_call(
-        _grouped_nearest_ri_kernel(n_obj, n_groups, group, with_ri),
+        _grouped_nearest_ri_kernel(n_obj, n_groups, group, with_ri, has_motion),
         grid=(R // rb,),
         in_specs=[smem(table), smem(gaabb)] + [lane_spec] * 8,
         out_specs=(lane_spec, lane_spec, lane_spec),
@@ -579,7 +590,8 @@ def _sweep_dispatch(accel, o, d, time_ratio, t_limit, with_ri: bool):
     """(t, obj_sorted_or_plain, ri_or_None) across kernel variants."""
     if accel.group and accel.gaabb is not None:
         t, obj, ri = sweep_grouped(
-            accel.table, accel.gaabb, o, d, time_ratio, t_limit, accel.group, with_ri
+            accel.table, accel.gaabb, o, d, time_ratio, t_limit, accel.group,
+            with_ri, has_motion=accel.has_motion,
         )
         return t, obj, (ri if with_ri else None)
     if with_ri and accel.mode == "spheres":
@@ -669,21 +681,25 @@ class PallasAccel:
     Morton-ordered and ``gaabb`` holds per-group AABBs; ``perm`` maps sorted
     positions back to original object ids."""
 
-    def __init__(self, table, mode: str, hit_matrix=None, gaabb=None, perm=None, group: int = 0):
+    def __init__(self, table, mode: str, hit_matrix=None, gaabb=None, perm=None,
+                 group: int = 0, has_motion: bool = True):
         self.table = table
         self.mode = mode
         self.hit_matrix = hit_matrix
         self.gaabb = gaabb
         self.perm = perm
         self.group = group
+        self.has_motion = has_motion
 
     def tree_flatten(self):
-        return (self.table, self.hit_matrix, self.gaabb, self.perm), (self.mode, self.group)
+        return (self.table, self.hit_matrix, self.gaabb, self.perm), (
+            self.mode, self.group, self.has_motion,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        mode, group = aux
-        return cls(leaves[0], mode, leaves[1], leaves[2], leaves[3], group)
+        mode, group, has_motion = aux
+        return cls(leaves[0], mode, leaves[1], leaves[2], leaves[3], group, has_motion)
 
 
 from flax import struct
@@ -710,7 +726,14 @@ SCENE_PERM_FIELDS = (
 )
 
 
-def make_accel(scene: Scene, mode: Optional[str] = None, group: int = 0) -> PallasAccel:
+def scene_has_motion(scene: Scene) -> bool:
+    """Host-side: any valid object with a nonzero motion delta."""
+    dp = np.asarray(scene.delta_position) * np.asarray(scene.valid)[:, None]
+    return bool((np.abs(dp) > 0).any())
+
+
+def make_accel(scene: Scene, mode: Optional[str] = None, group: int = 0,
+               has_motion: bool = True) -> PallasAccel:
     mode = mode or scene_mode(scene)
     if group <= 0 or mode != "spheres":
         return PallasAccel(
@@ -759,7 +782,7 @@ def make_accel(scene: Scene, mode: Optional[str] = None, group: int = 0) -> Pall
     ghi = jnp.max(hi_s.reshape(-1, group, 3), axis=1)
     gaabb = jnp.concatenate([glo.T, ghi.T], axis=0)  # (6, G)
 
-    return PallasAccel(table, "spheres", hm, gaabb, order, group)
+    return PallasAccel(table, "spheres", hm, gaabb, order, group, has_motion)
 
 
 def intersect_pallas_full(accel: PallasAccel, scene: Scene, o, d, time_ratio, t_limit):

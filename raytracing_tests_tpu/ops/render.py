@@ -72,16 +72,18 @@ class RenderConfig:
     has_dielectrics: bool = True
     pallas_mode: str = "generic"  # 'spheres' | 'generic' (set via for_scene)
     pallas_groups: int = 32  # group size for block-level culling (0 = off)
+    has_motion: bool = True  # static no-motion kernel specialization
 
     def for_scene(self, scene) -> "RenderConfig":
         """Specialize static flags from a CONCRETE (non-traced) scene."""
-        from raytracing_tests_tpu.kernels.sweep import scene_mode
+        from raytracing_tests_tpu.kernels.sweep import scene_has_motion, scene_mode
 
         refr = np.asarray(scene.refractivity) * np.asarray(scene.valid)
         return dataclasses.replace(
             self,
             has_dielectrics=bool((refr > 0.002).any()),
             pallas_mode=scene_mode(scene),
+            has_motion=scene_has_motion(scene),
         )
 
     @property
@@ -473,7 +475,9 @@ def _build_accel(scene, cfg: RenderConfig):
     if cfg.intersector == "pallas":
         from raytracing_tests_tpu.kernels.sweep import make_accel
 
-        return make_accel(scene, cfg.pallas_mode, group=cfg.pallas_groups)
+        return make_accel(
+            scene, cfg.pallas_mode, group=cfg.pallas_groups, has_motion=cfg.has_motion
+        )
     return None
 
 

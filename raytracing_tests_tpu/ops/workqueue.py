@@ -178,7 +178,8 @@ def render_workqueue(
     lights: Optional[Lights] = None,
     chunk: int = DEFAULT_CHUNK,
     pool_factor: float = 3.2,
-    tile: int = 16,
+    tile: int = 0,  # pixel-tile pool order: helps culling at low spp, but the
+    # eager 36M-row permutation gather costs seconds at high spp — opt-in
 ):
     """Full render; dict(image, depth, rays) like ``render_stats``."""
     H, W, S = cfg.height, cfg.width, cfg.spp
