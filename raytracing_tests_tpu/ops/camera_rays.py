@@ -6,6 +6,15 @@ path): screen-space direction from an UNNORMALIZED right/up camera basis
 (faithful to the reference, which skips the normalize), then a sunflower
 aperture offset that pivots each sample ray about the focal point.
 
+Extras over the single reference kernel, both reference capabilities:
+  - multi-focus: sample s focuses at ``focus_dist[s % K]`` (the
+    ``u_NumOfFocusDist`` / ``#if MULTIFOCUS`` path, ``base.h:152-168``),
+  - ``aa_grid``: per-sample screen jitter on the diagonal-scan supersampling
+    grid (IOW-02, ``02_Groups/computeShaderSrc.glsl:135-157``),
+  - orthographic projection (``GLCore/Util/OrthographicCamera.h:7-33``):
+    parallel rays, selected when ``camera.ortho_height > 0`` (branchless,
+    so the camera stays a plain traced pytree).
+
 Pixel convention: row 0 = bottom of the image (GL image origin); writers
 flip for PNG.
 """
@@ -26,10 +35,6 @@ def primary_rays(camera: Camera, width: int, height: int, spp: int, aa_grid: boo
     Returns (origin, direction, time_ratio) each of shape (H, W, S, 3|).
     ``time_ratio = s / S`` is the motion-blur time coordinate the reference
     derives from ``gl_LocalInvocationIndex``.
-
-    ``aa_grid=True`` jitters each sample's screen position on the reference's
-    diagonal-scan supersampling grid (IOW-02 ``02_Groups/computeShaderSrc.
-    glsl:135-157``) — anti-aliasing on top of the DOF sunflower.
     """
     aspect = width / height
     screen_dist = 1.0 / (2.0 * jnp.tan(camera.fov_y * 0.5))
@@ -52,41 +57,34 @@ def primary_rays(camera: Camera, width: int, height: int, spp: int, aa_grid: boo
             + cam_up * py_s[..., None]
         )  # (H, W, S, 3)
         base_dir = linalg.normalize(base_dir)
-        return _dof_rays(camera, base_dir, spp, per_sample_dir=True)
+        o, d, time_ratio = _dof_rays(camera, base_dir, spp)
+        sx, sy = px_s[..., None], py_s[..., None]
+    else:
+        base_dir = (
+            camera.direction * screen_dist
+            + cam_right * px[None, :, None]
+            + cam_up * py[:, None, None]
+        )  # (H, W, 3)
+        base_dir = linalg.normalize(base_dir)
+        o, d, time_ratio = _dof_rays(camera, base_dir[..., None, :], spp)
+        sx = jnp.broadcast_to(px[None, :, None, None], (height, width, 1, 1))
+        sy = jnp.broadcast_to(py[:, None, None, None], (height, width, 1, 1))
 
-    base_dir = (
-        camera.direction * screen_dist
-        + cam_right * px[None, :, None]
-        + cam_up * py[:, None, None]
-    )  # (H, W, 3)
-    base_dir = linalg.normalize(base_dir)
-
-    s = jnp.arange(spp, dtype=jnp.float32)  # (S,)
-    offset = sampling.sunflower_disc(s, spp, camera.aperture)  # (S, 2)
-
-    ray_right = linalg.cross(base_dir, WORLD_UP)  # (H, W, 3)
-    ray_up = linalg.cross(ray_right, base_dir)
-
-    new_tip = (
-        camera.position
-        + base_dir[..., None, :]
-        + ray_right[..., None, :] * offset[:, 0, None]
-        + ray_up[..., None, :] * offset[:, 1, None]
-    )  # (H, W, S, 3)
-    # Multi-focus: sample s focuses at focus_dist[s % K] (the reference's
-    # u_NumOfFocusDist array, In-Next-Week/base.h:152-168 + #if MULTIFOCUS
-    # path 01_BVH glsl:389-409); K = 1 reduces to the single-focus path.
-    fd = camera.focus_dist[(jnp.arange(spp) % camera.focus_dist.shape[0])]  # (S,)
-    look_at = camera.position + base_dir[..., None, :] * fd[:, None]  # (H, W, S, 3)
-    d = linalg.normalize(look_at - new_tip)
-    o = new_tip - d
-
-    time_ratio = jnp.broadcast_to(s / spp, o.shape[:-1])
+    # Orthographic blend: parallel rays from a view-plane lattice.  Selected
+    # per camera (scalar), branchless so the function stays jit-generic.
+    right_n = linalg.normalize(cam_right)
+    up_n = linalg.normalize(cam_up)
+    h = camera.ortho_height
+    o_ortho = camera.position + h * (sx * right_n + sy * up_n)
+    d_ortho = jnp.broadcast_to(camera.direction, o.shape)
+    is_ortho = h > 0.0
+    o = jnp.where(is_ortho, jnp.broadcast_to(o_ortho, o.shape), o)
+    d = jnp.where(is_ortho, d_ortho, d)
     return o, d, time_ratio
 
 
-def _dof_rays(camera: Camera, base_dir, spp: int, per_sample_dir: bool):
-    """Thin-lens DOF for per-sample base directions (H, W, S, 3)."""
+def _dof_rays(camera: Camera, base_dir, spp: int):
+    """Thin-lens DOF for base directions (..., S | 1, 3) -> (H, W, S, 3)."""
     s = jnp.arange(spp, dtype=jnp.float32)
     offset = sampling.sunflower_disc(s, spp, camera.aperture)  # (S, 2)
     ray_right = linalg.cross(base_dir, jnp.broadcast_to(WORLD_UP, base_dir.shape))
@@ -97,7 +95,8 @@ def _dof_rays(camera: Camera, base_dir, spp: int, per_sample_dir: bool):
         + ray_right * offset[:, 0, None]
         + ray_up * offset[:, 1, None]
     )
-    fd = camera.focus_dist[(jnp.arange(spp) % camera.focus_dist.shape[0])]
+    # Multi-focus: sample s focuses at focus_dist[s % K] (single-focus: K=1).
+    fd = camera.focus_dist[(jnp.arange(spp) % camera.focus_dist.shape[0])]  # (S,)
     look_at = camera.position + base_dir * fd[:, None]
     d = linalg.normalize(look_at - new_tip)
     o = new_tip - d

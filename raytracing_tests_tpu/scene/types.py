@@ -77,7 +77,11 @@ class Camera:
     ``In-Next-Week/base.h:256-282`` and ray-gen in ``01_BVH`` glsl:364-411).
 
     ``focus_dist`` is a vector to support the reference's multi-focus arrays;
-    single-focus uses ``focus_dist[0]``.
+    single-focus uses ``focus_dist[0]``.  ``ortho_height > 0`` switches to an
+    orthographic projection (the reference's ``OrthographicCamera``,
+    ``GLCore/Util/OrthographicCamera.h:7-33`` — used by its example layer):
+    parallel rays from a ``ortho_height``-tall view plane; fov/aperture are
+    ignored.
     """
 
     position: jnp.ndarray  # (3,)
@@ -85,9 +89,11 @@ class Camera:
     fov_y: jnp.ndarray  # () radians
     aperture: jnp.ndarray  # () lens diameter
     focus_dist: jnp.ndarray  # (K,)
+    ortho_height: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros(()))
 
     @classmethod
-    def make(cls, position, direction, fov_y_deg=60.0, aperture=0.0, focus_dist=10.0):
+    def make(cls, position, direction, fov_y_deg=60.0, aperture=0.0, focus_dist=10.0,
+             ortho_height=0.0):
         # NOTE: focus_dist == 1.0 is degenerate under the reference's DOF pivot
         # (lookAt - newTip becomes the zero vector); keep it > 1.
         fd = np.atleast_1d(np.asarray(focus_dist, np.float32))
@@ -99,7 +105,12 @@ class Camera:
             fov_y=jnp.asarray(np.deg2rad(fov_y_deg), jnp.float32),
             aperture=jnp.asarray(aperture, jnp.float32),
             focus_dist=jnp.asarray(fd),
+            ortho_height=jnp.asarray(ortho_height, jnp.float32),
         )
+
+    @classmethod
+    def orthographic(cls, position, direction, height=2.0):
+        return cls.make(position, direction, ortho_height=height)
 
     @classmethod
     def from_pitch_yaw(cls, position, pitch_deg, yaw_deg, **kw):

@@ -39,3 +39,20 @@ def test_aa_grid_smooths_edges():
 def test_pitch_yaw_constructor():
     cam = Camera.from_pitch_yaw((0, 0, 0), pitch_deg=0.0, yaw_deg=-90.0)
     np.testing.assert_allclose(np.asarray(cam.direction), [0, 0, -1], atol=1e-6)
+
+
+def test_orthographic_camera():
+    """Parallel-ray projection (the reference's OrthographicCamera)."""
+    scene, _ = examples.materials_scene()
+    cfg = RenderConfig(width=24, height=16, spp=2, max_bounces=3)
+    cam_o = Camera.orthographic((0, 0.3, 2.0), (0, -0.05, -1), height=3.0)
+    img = np.asarray(render(scene, cam_o, cfg)["image"])
+    assert np.isfinite(img).all()
+    # parallel rays: direction must be identical for every pixel
+    from raytracing_tests_tpu.ops.camera_rays import primary_rays
+
+    o, d, _ = primary_rays(cam_o, 8, 6, 2)
+    d = np.asarray(d).reshape(-1, 3)
+    np.testing.assert_allclose(d, np.broadcast_to(d[0], d.shape), atol=1e-6)
+    o = np.asarray(o).reshape(-1, 3)
+    assert not np.allclose(o, o[0])  # origins form the view-plane lattice
