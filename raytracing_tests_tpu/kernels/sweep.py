@@ -750,10 +750,17 @@ def make_accel(scene: Scene, mode: Optional[str] = None, group: int = 0,
     lo_v = jnp.where(valid[:, None], lo, big)
     hi_v = jnp.where(valid[:, None], hi, big)
     slo = jnp.min(lo_v, axis=0)
-    ext = jnp.maximum(jnp.max(hi_v, axis=0) - slo, 1e-12)
-    codes = morton3d(((lo_v + hi_v) * 0.5 - slo) / ext)
-    codes = jnp.where(valid, codes, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(codes).astype(jnp.int32)
+    sext = jnp.maximum(jnp.max(hi_v, axis=0) - slo, 1e-12)
+    codes = morton3d(((lo_v + hi_v) * 0.5 - slo) / sext)
+    # Huge objects (a ground sphere spans the whole scene) would bloat their
+    # Morton group's AABB and defeat culling for everything sharing the
+    # group: sort them FIRST into their own always-tested group(s), keeping
+    # the remaining groups spatially tight.
+    size = jnp.max(hi_v - lo_v, axis=-1) / jnp.max(sext)
+    huge = (size > 0.5) & valid
+    codes = jnp.where(valid, codes >> jnp.uint32(2), jnp.uint32(0x3FFFFFFF))
+    key = jnp.where(huge, jnp.uint32(0), codes + jnp.uint32(1))
+    order = jnp.argsort(key).astype(jnp.int32)
 
     perm_scene = scene.replace(
         **{f: getattr(scene, f)[order] for f in SCENE_PERM_FIELDS}

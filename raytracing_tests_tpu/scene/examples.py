@@ -154,10 +154,13 @@ def texturing_image_scene(tex_size: int = 64):
     ti_dice = b.add_texture(dice)
     b.add_sphere((0.0, -100.5, -3.0), 100.0, color=(0.6, 0.6, 0.6),
                  reflectivity=1.0, scatter_reflect=1.2)
+    # Low reflectivity: the absorption shading model adds contrib*albedo per
+    # hit, so highly reflective spheres wash toward the sky color — mostly-
+    # matte spheres show their texture.
     b.add_sphere((-0.7, 0.0, -3.0), 0.6, color=(1.0, 1.0, 1.0),
-                 reflectivity=0.8, scatter_reflect=0.3, texture_index=ti_planet)
+                 reflectivity=0.25, scatter_reflect=0.5, texture_index=ti_planet)
     b.add_sphere((0.9, 0.0, -3.2), 0.6, color=(1.0, 1.0, 1.0),
-                 reflectivity=0.8, scatter_reflect=0.3, texture_index=ti_dice)
+                 reflectivity=0.25, scatter_reflect=0.5, texture_index=ti_dice)
     cam = Camera.make((0.0, 0.3, 0.5), (0.0, -0.08, -1.0), fov_y_deg=55.0, focus_dist=3.5)
     return b.build(), cam
 
