@@ -656,16 +656,32 @@ H_R00 = 20  # generic-mode extras: rotation rows 20..28, type 29
 H_TYPE = 29
 
 
-def onehot_gather(matrix, idx):
-    """(N, F) matrix, (B,) int32 indices -> (B, F) rows, via MXU matmul."""
+def onehot_gather(matrix, idx, split_bf16: bool = False):
+    """(N, F) matrix, (B,) int32 indices -> (B, F) rows, via MXU matmul.
+
+    ``split_bf16`` keeps the big (B, N) one-hot operand in bf16 with a
+    3-term bf16 decomposition of the field matrix.  Exact on CPU, but OFF by
+    default: measured on v5e it is both slower (2.6 vs 2.1 ms at 1M lanes —
+    the f32 matmul is not bandwidth-bound here) and loses precision (XLA
+    fuses the decomposition arithmetic differently on TPU).
+    """
     N = matrix.shape[0]
-    oh = (idx[:, None] == jnp.arange(N, dtype=idx.dtype)[None, :]).astype(jnp.float32)
-    return jax.lax.dot_general(
-        oh,
-        matrix,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dn = (((1,), (0,)), ((), ()))
+    if not split_bf16:
+        oh = (idx[:, None] == jnp.arange(N, dtype=idx.dtype)[None, :]).astype(
+            jnp.float32
+        )
+        return jax.lax.dot_general(oh, matrix, dn, preferred_element_type=jnp.float32)
+    oh = (idx[:, None] == jnp.arange(N, dtype=idx.dtype)[None, :]).astype(jnp.bfloat16)
+    hi = matrix.astype(jnp.bfloat16)
+    r1 = matrix - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = None
+    for part in (hi, mid, lo):
+        g = jax.lax.dot_general(oh, part, dn, preferred_element_type=jnp.float32)
+        out = g if out is None else out + g
+    return out
 
 
 # ---------------------------------------------------------------------------
