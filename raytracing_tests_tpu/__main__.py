@@ -1,3 +1,4 @@
 from raytracing_tests_tpu.app.cli import main
 
-main()
+if __name__ == "__main__":
+    main()

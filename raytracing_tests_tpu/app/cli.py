@@ -112,7 +112,7 @@ def _cmd_train(args):
     if args.ckpt_dir:
         from raytracing_tests_tpu.app import checkpoint as ckpt
 
-        restored, start = ckpt.restore_train_state(args.ckpt_dir)
+        restored, start = ckpt.restore_train_state(args.ckpt_dir, st)
         if restored is not None:
             st = restored
             log.info("resumed from step %d", start)

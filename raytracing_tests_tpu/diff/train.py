@@ -36,14 +36,14 @@ def render_loss(
     lights: Optional[Lights] = None,
 ):
     """Mean-squared pixel error of the (possibly sharded) render vs target."""
-    if cfg.early_exit or cfg.intersector == "pallas":
-        # while_loop is not reverse-differentiable and the Pallas sweep has
-        # no VJP; gradient rendering uses the scan + dense-sweep formulation
-        # (identical outputs, tested).
+    if cfg.early_exit or cfg.intersector in ("pallas", "bvh"):
+        # while_loop is not reverse-differentiable (bvh traversal uses one)
+        # and the Pallas sweep has no VJP; gradient rendering uses the scan +
+        # dense-sweep formulation (identical outputs, tested).
         cfg = dataclasses.replace(
             cfg,
             early_exit=False,
-            intersector="brute" if cfg.intersector == "pallas" else cfg.intersector,
+            intersector="brute" if cfg.intersector in ("pallas", "bvh") else cfg.intersector,
         )
     scene = apply_params(template, params)
     if mesh is not None:

@@ -1,14 +1,18 @@
 """ctypes loader for the native host runtime (``src/rt_native.cpp``).
 
-Compiles on first import with g++ (cached by source mtime) — the
-premake/VS2019 build of the reference (``premake5.lua``) collapses to one
-compiler invocation here.  Everything degrades gracefully: if no compiler is
-available, ``AVAILABLE`` is False and callers fall back to the jax paths.
+Compiles on first use with g++ — the premake/VS2019 build of the reference
+(``premake5.lua``) collapses to one compiler invocation here.  The built
+artifact is named by a hash of the source (``librt_native-<sha>.so``), so a
+source edit always triggers a rebuild and a stale or foreign binary can never
+be silently loaded (binaries are gitignored, never committed).  Everything
+degrades gracefully: if no compiler is available, ``AVAILABLE`` is False and
+callers fall back to the jax paths.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -16,34 +20,44 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "src", "rt_native.cpp")
-_LIB = os.path.join(_DIR, "librt_native.so")
 
 AVAILABLE = False
 _lib = None
 
 
-def _build() -> bool:
+def _lib_path() -> str:
+    """Artifact path keyed by source hash: rebuilds on any source change and
+    never trusts an existing binary built from different source."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_DIR, f"librt_native-{digest}.so")
+
+
+def _build() -> str | None:
     try:
-        if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-            return True
+        lib = _lib_path()
+        if os.path.exists(lib):
+            return lib
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            "-pthread", _SRC, "-o", _LIB,
+            "-pthread", _SRC, "-o", lib + ".tmp",
         ]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
+        os.replace(lib + ".tmp", lib)  # atomic: concurrent builders race safely
+        return lib
     except (OSError, subprocess.SubprocessError):
-        return False
+        return None
 
 
 def _load():
     global _lib, AVAILABLE
     if _lib is not None:
         return _lib
-    if not _build():
+    lib_path = _build()
+    if lib_path is None:
         return None
     try:
-        lib = ctypes.CDLL(_LIB)
+        lib = ctypes.CDLL(lib_path)
     except OSError:
         return None
     lib.rt_version.restype = ctypes.c_int

@@ -188,11 +188,26 @@ MAX_PROGRAM = 64  # cf. the reference's 40-int Eqn buffer (test.cpp:119)
 MAX_STACK = 16
 
 
+def required_stack(tree: Node) -> int:
+    """Peak evaluation-stack depth of the tree's postfix program (each
+    instruction pops ``arity`` and pushes 1)."""
+    depth = mx = 0
+    for node in tree.postfix():
+        depth += 1 - ARITY[node.op]
+        mx = max(mx, depth)
+    return mx
+
+
 def serialize(tree: Node, max_len: int = MAX_PROGRAM) -> np.ndarray:
     """Tree -> (L, 2) float32 postfix program [(opcode, data), ...], padded
     with NONE.  Replaces the reference's brace-token texture serialization."""
     post = tree.postfix()
     assert len(post) <= max_len, f"program too long: {len(post)} > {max_len}"
+    need = required_stack(tree)
+    assert need <= MAX_STACK, (
+        f"program needs stack depth {need} > MAX_STACK={MAX_STACK}; "
+        "evaluate_program would silently clip (reject such trees in pick())"
+    )
     out = np.zeros((max_len, 2), np.float32)
     for k, node in enumerate(post):
         out[k, 0] = node.op
@@ -327,8 +342,13 @@ class EvolvingPictures:
             else:
                 child = [mutate(self.rng, t) for t in winner]
             # Guard the serialized-length cap (the reference simply forbids
-            # bigger trees on its "small gpu stack", README.md:31).
-            if all(t.size() <= MAX_PROGRAM for t in child):
+            # bigger trees on its "small gpu stack", README.md:31) AND the
+            # eval-stack depth — deep operator chains from crossover can need
+            # more stack than a length-legal program suggests.
+            if all(
+                t.size() <= MAX_PROGRAM and required_stack(t) <= MAX_STACK
+                for t in child
+            ):
                 new.append(child)
         self.pictures = new
         self.generation += 1

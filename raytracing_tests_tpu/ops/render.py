@@ -165,17 +165,21 @@ class RayQueue:
         )
 
     def push(self, mask, origin, direction, contribution, bounced):
-        """Vectorized conditional push at position ``size`` for lanes in ``mask``."""
+        """Vectorized conditional push at position ``size`` for lanes in
+        ``mask``.  Returns ``(queue, n_dropped)`` — pushes beyond capacity are
+        silently dropped exactly like the reference stack macros, but the
+        count is surfaced so renderers can report honest ray accounting."""
         q = self.origin.shape[1]
         can = mask & (self.size < q)
         slot = jax.nn.one_hot(self.size, q, dtype=bool) & can[:, None]  # (B, Q)
+        n_dropped = jnp.sum((mask & ~can).astype(jnp.int32))
         return RayQueue(
             origin=jnp.where(slot[..., None], origin[:, None, :], self.origin),
             direction=jnp.where(slot[..., None], direction[:, None, :], self.direction),
             contribution=jnp.where(slot, contribution[:, None], self.contribution),
             bounced=jnp.where(slot, bounced[:, None], self.bounced),
             size=self.size + can.astype(jnp.int32),
-        )
+        ), n_dropped
 
     def pop(self):
         """LIFO pop; lanes with empty queues return zeros and active=False."""
@@ -440,7 +444,8 @@ def shade_rays(scene, lights, cfg: RenderConfig, accel, o, d, contrib, bounced, 
 
 
 def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp, time_ratio, accel=None):
-    """One queue step: pop LIFO top of every lane, shade, push children."""
+    """One queue step: pop LIFO top of every lane, shade, push children.
+    Returns ``(queue, state, n_dropped)``."""
     color, depth, done, primary_t = state
     queue, active, o, d, contrib, bounced = queue.pop()
     active = active & ~done
@@ -450,8 +455,8 @@ def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp
         scene, lights, cfg, accel, o, d, contrib, bounced, active, sample_idx, time_ratio
     )
     # Push refraction then reflection (reference order; LIFO pops reflect first).
-    queue = queue.push(r.refr_mask, r.refr_o, r.refr_d, r.refr_contrib, r.bounced)
-    queue = queue.push(r.refl_mask, r.refl_o, r.refl_d, r.refl_contrib, r.bounced)
+    queue, d1 = queue.push(r.refr_mask, r.refr_o, r.refr_d, r.refr_contrib, r.bounced)
+    queue, d2 = queue.push(r.refl_mask, r.refl_o, r.refl_d, r.refl_contrib, r.bounced)
 
     color = color + r.add_color
     color = jnp.where(r.set_white[:, None], jnp.ones_like(color), color)
@@ -459,7 +464,7 @@ def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp
     primary_t = jnp.where(is_primary, r.hit_t, primary_t)
     depth = jnp.where(r.missed, cfg.t_max, depth)
     depth = jnp.where(r.did_hit, r.hit_t, depth)
-    return queue, (color, depth, done, primary_t)
+    return queue, (color, depth, done, primary_t), d1 + d2
 
 
 # ----------------------------------------------------------------------------
@@ -483,9 +488,10 @@ def _build_accel(scene, cfg: RenderConfig):
 
 def trace_lanes(scene, lights, cfg: RenderConfig, o, d, time_ratio, sample_idx, accel=None):
     """Trace a flat batch of lanes. ``o, d: (B, 3)``; returns
-    ``(color (B, 3), primary_t (B,), rays (scalar i32))`` where ``rays`` counts
-    the rays actually processed (active pops) — the honest rays/s numerator.
-    """
+    ``(color (B, 3), primary_t (B,), rays (scalar i32), dropped (scalar i32))``
+    where ``rays`` counts the rays actually processed (active pops) — the
+    honest rays/s numerator — and ``dropped`` counts children lost to the
+    fixed queue capacity (the reference stack drops the same rays)."""
     B = o.shape[0]
     if accel is None and cfg.intersector != "brute":
         accel = _build_accel(scene, cfg)
@@ -493,10 +499,10 @@ def trace_lanes(scene, lights, cfg: RenderConfig, o, d, time_ratio, sample_idx, 
         t_limit = jnp.full((B,), cfg.t_max, jnp.float32)
         hit = _nearest(scene, accel, o, d, time_ratio, t_limit)
         col = jnp.where(hit.hit[:, None], hit.normal, 0.0)
-        return col, jnp.where(hit.hit, hit.t, cfg.t_max), jnp.int32(B)
+        return col, jnp.where(hit.hit, hit.t, cfg.t_max), jnp.int32(B), jnp.int32(0)
 
     queue = RayQueue.create(B, cfg.queue_capacity)
-    queue = queue.push(
+    queue, _ = queue.push(
         jnp.ones(B, bool), o, d, jnp.ones(B, jnp.float32), jnp.zeros(B, jnp.int32)
     )
     state = (
@@ -511,24 +517,24 @@ def trace_lanes(scene, lights, cfg: RenderConfig, o, d, time_ratio, sample_idx, 
     # the full static pop budget.  while_loop is not reverse-mode
     # differentiable, so gradient rendering falls back to a scan.
     def step(carry):
-        queue, state, rays, k = carry
+        queue, state, rays, dropped, k = carry
         n_active = jnp.sum((queue.size > 0).astype(jnp.int32))
-        queue, state = _process_pop(
+        queue, state, n_drop = _process_pop(
             scene, lights, cfg, queue, state, sample_idx, cfg.spp, time_ratio, accel
         )
-        return (queue, state, rays + n_active, k + 1)
+        return (queue, state, rays + n_active, dropped + n_drop, k + 1)
 
-    init = (queue, state, jnp.int32(0), jnp.int32(0))
+    init = (queue, state, jnp.int32(0), jnp.int32(0), jnp.int32(0))
     if cfg.early_exit:
-        queue, state, rays, _ = jax.lax.while_loop(
-            lambda c: (c[3] < cfg.pops) & jnp.any(c[0].size > 0), step, init
+        queue, state, rays, dropped, _ = jax.lax.while_loop(
+            lambda c: (c[4] < cfg.pops) & jnp.any(c[0].size > 0), step, init
         )
     else:
-        (queue, state, rays, _), _ = jax.lax.scan(
+        (queue, state, rays, dropped, _), _ = jax.lax.scan(
             lambda c, _: (step(c), None), init, None, length=cfg.pops
         )
     color, depth, done, primary_t = state
-    return color, primary_t, rays
+    return color, primary_t, rays, dropped
 
 
 def _lane_inputs(camera, cfg: RenderConfig):
@@ -559,7 +565,7 @@ def render_samples(scene, camera, cfg: RenderConfig, lights=None):
     accel = _build_accel(scene, cfg)
 
     if cfg.lane_chunk is None or cfg.lane_chunk >= B:
-        color, primary_t, _ = trace_lanes(
+        color, primary_t, _, _ = trace_lanes(
             scene, lights, cfg, o, d, time_ratio, sample_idx, accel
         )
         return color.reshape(H, W, S, 3), primary_t.reshape(H, W, S)
@@ -577,7 +583,7 @@ def render_samples(scene, camera, cfg: RenderConfig, lights=None):
     )
 
     def body(args):
-        co, pt, _ = trace_lanes(scene, lights, cfg, *args, accel)
+        co, pt, _, _ = trace_lanes(scene, lights, cfg, *args, accel)
         return co, pt
 
     color, primary_t = jax.lax.map(body, xs)
@@ -596,7 +602,7 @@ def render_stats(scene, camera, cfg: RenderConfig, lights=None):
     accel = _build_accel(scene, cfg)
     chunk = cfg.lane_chunk or B
     if chunk >= B:
-        color, primary_t, rays = trace_lanes(
+        color, primary_t, rays, dropped = trace_lanes(
             scene, lights, cfg, o, d, time_ratio, sample_idx, accel
         )
     else:
@@ -614,15 +620,17 @@ def render_stats(scene, camera, cfg: RenderConfig, lights=None):
             pad_to(x).reshape(n_chunks, chunk, *x.shape[1:])
             for x in (o, d, time_ratio, sample_idx)
         )
-        color, primary_t, rays = jax.lax.map(
+        color, primary_t, rays, dropped = jax.lax.map(
             lambda args: trace_lanes(scene, lights, cfg, *args, accel), xs
         )
         color = color.reshape(-1, 3)[:B]
         primary_t = primary_t.reshape(-1)[:B]
         # Each zero-direction padding lane costs exactly one (missing) pop.
         rays = jnp.sum(rays) - pad
+        dropped = jnp.sum(dropped)
     out = finalize(color.reshape(H, W, S, 3), primary_t.reshape(H, W, S), cfg)
     out["rays"] = rays
+    out["rays_dropped"] = dropped
     return out
 
 

@@ -80,7 +80,7 @@ def render_progressive(
             x1, y1 = min(x0 + tw, W), min(y0 + th, H)
             hh, ww = y1 - y0, x1 - x0
             flat = lambda a: a[y0:y1, x0:x1].reshape(hh * ww * S, *a.shape[3:])
-            color, _, _ = trace_lanes(
+            color, _, _, _ = trace_lanes(
                 scene, lights, cfg,
                 flat(o), flat(d), flat(time_ratio), flat(sample_idx), accel,
             )

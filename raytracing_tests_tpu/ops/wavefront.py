@@ -148,9 +148,10 @@ def _chunk_step(
     next_fields = jax.lax.dynamic_update_slice(next_fields, packed, (0, off))
     next_lane = jax.lax.dynamic_update_slice(next_lane, packed_lane, (off,))
     new_offset = jnp.minimum(offset + n_children, P - 2 * C)
+    n_dropped = offset + n_children - new_offset  # children lost to overflow
 
     n_active = jnp.sum(active.astype(jnp.int32))
-    return color, white, primary_t, next_fields, next_lane, new_offset, n_active
+    return color, white, primary_t, next_fields, next_lane, new_offset, n_active, n_dropped
 
 
 def render_wavefront(
@@ -185,6 +186,7 @@ def render_wavefront(
     lane = jnp.full((P,), -1, jnp.int32).at[:B].set(jnp.arange(B, dtype=jnp.int32))
     n = B
     total_rays = jnp.int32(0)
+    total_dropped = jnp.int32(0)
 
     for rnd in range(cfg.max_bounces + 1):
         n_chunks = -(-n // chunk)
@@ -194,11 +196,13 @@ def render_wavefront(
         for k in range(n_chunks):
             f = fields[:, k * chunk : (k + 1) * chunk]
             l = lane[k * chunk : (k + 1) * chunk]
-            color, white, primary_t, next_fields, next_lane, offset, n_act = _chunk_step(
+            (color, white, primary_t, next_fields, next_lane, offset,
+             n_act, n_drop) = _chunk_step(
                 color, white, primary_t, next_fields, next_lane, offset,
                 scene, accel, lights, f, l, cfg, rnd == 0, P, chunk,
             )
             total_rays = total_rays + n_act  # device-side accumulation
+            total_dropped = total_dropped + n_drop
         n = int(offset)  # the single per-round host sync
         if n == 0 or rnd == cfg.max_bounces:
             break
@@ -208,4 +212,5 @@ def render_wavefront(
     colors = jnp.moveaxis(color[:, :B], 0, -1).reshape(H, W, S, 3)
     out = finalize(colors, primary_t[:B].reshape(H, W, S), cfg)
     out["rays"] = total_rays
+    out["rays_dropped"] = total_dropped
     return out

@@ -97,7 +97,8 @@ def _drain_queue(
         return (read < write) & (it < max_iters)
 
     def body(st):
-        read, write, it, pool_fields, pool_lane, color, white, primary_t, rays = st
+        (read, write, it, pool_fields, pool_lane,
+         color, white, primary_t, rays, dropped) = st
         avail = jnp.minimum(C, write - read)
         f = jax.lax.dynamic_slice(pool_fields, (0, read), (N_FIELDS, C))
         l = jax.lax.dynamic_slice(pool_lane, (read,), (C,))
@@ -153,22 +154,23 @@ def _drain_queue(
         w = jnp.minimum(write, P - 2 * C)  # clamp on overflow (drops late rays)
         pool_fields = jax.lax.dynamic_update_slice(pool_fields, packed, (0, w))
         pool_lane = jax.lax.dynamic_update_slice(pool_lane, packed_lane, (w,))
-        write = jnp.minimum(write + n_children, P - 2 * C)
+        new_write = jnp.minimum(write + n_children, P - 2 * C)
+        dropped = dropped + (write + n_children - new_write)
 
         rays = rays + jnp.sum(active.astype(jnp.int32))
-        return (read + avail, write, it + 1, pool_fields, pool_lane,
-                color, white, primary_t, rays)
+        return (read + avail, new_write, it + 1, pool_fields, pool_lane,
+                color, white, primary_t, rays, dropped)
 
     st = (
         jnp.int32(0), write0, jnp.int32(0), pool_fields, pool_lane,
-        color, white, primary_t, jnp.int32(0),
+        color, white, primary_t, jnp.int32(0), jnp.int32(0),
     )
     st = jax.lax.while_loop(cond, body, st)
-    _, _, iters, _, _, color, white, primary_t, rays = st
+    _, _, iters, _, _, color, white, primary_t, rays, dropped = st
 
     rgb = color[: 3 * B].reshape(3, B)
     rgb = jnp.where(white[:B] > 0.0, 1.0, rgb)  # emissive abort -> white
-    return rgb, primary_t[:B], rays, iters
+    return rgb, primary_t[:B], rays, iters, dropped
 
 
 def render_workqueue(
@@ -205,11 +207,12 @@ def render_workqueue(
     lane = jnp.full((P,), -1, jnp.int32).at[:B].set(lane0)
 
     max_iters = P // chunk + 8 * (cfg.max_bounces + 1)
-    rgb, primary_t, rays, iters = _drain_queue(
+    rgb, primary_t, rays, iters, dropped = _drain_queue(
         scene, accel, lights, fields, lane, jnp.int32(B), cfg, chunk, B, max_iters
     )
     colors = jnp.moveaxis(rgb, 0, -1).reshape(H, W, S, 3)
     out = finalize(colors, primary_t.reshape(H, W, S), cfg)
     out["rays"] = rays
     out["iterations"] = iters
+    out["rays_dropped"] = dropped
     return out

@@ -45,19 +45,22 @@ def initialize_multihost(
 def measure_rays_per_s(scene, camera, cfg: RenderConfig, n_devices: int, iters: int = 3):
     """Wall-clock rays/s of the row-sharded renderer on an n-device mesh.
 
-    Counts primary samples only (W*H*spp) — a conservative, config-stable
-    denominator for comparing mesh sizes (the bounce tree is identical across
-    mesh sizes, so ratios are unaffected).
+    Numerator = the renderer's own traced-ray counter (primary + secondary
+    rays actually processed), the same honest count ``render_stats`` and
+    ``bench.py`` use — so absolute numbers here are comparable to the
+    headline benchmark, and the bounce tree being identical across mesh
+    sizes keeps scaling ratios exact.
     """
     mesh = make_mesh(n_devices)
     out = render_sharded_jit(scene, camera, cfg, mesh)
     jax.block_until_ready(out)
+    rays = int(out["rays"])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = render_sharded_jit(scene, camera, cfg, mesh)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
-    return (cfg.width * cfg.height * cfg.spp) / dt
+    return rays / dt
 
 
 def scaling_report(scene, camera, cfg: RenderConfig, device_counts: Sequence[int]):

@@ -69,21 +69,25 @@ def render_sharded(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS)),
-        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS)),
+        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P()),
         check_vma=False,
     )
     def block(scene_, lights_, accel_, o_, d_, ratio_, sidx_):
         h = o_.shape[0]
         flat = lambda x: x.reshape((h * W * S,) + x.shape[3:])
-        color, primary_t, _ = trace_lanes(
+        color, primary_t, rays, _ = trace_lanes(
             scene_, lights_, cfg, flat(o_), flat(d_), flat(ratio_), flat(sidx_), accel_
         )
-        return color.reshape(h, W, S, 3), primary_t.reshape(h, W, S)
+        rays = jax.lax.psum(rays, ROWS_AXIS)  # global traced-ray count
+        return color.reshape(h, W, S, 3), primary_t.reshape(h, W, S), rays
 
-    colors, depths = block(scene, lights, accel, o, d, time_ratio, sample_idx)
+    colors, depths, rays = block(scene, lights, accel, o, d, time_ratio, sample_idx)
     colors = colors[inverse][:H]
     depths = depths[inverse][:H]
-    return finalize(colors, depths, cfg)
+    out = finalize(colors, depths, cfg)
+    # Zero-direction padding rows cost exactly one (missing) pop per lane.
+    out["rays"] = rays - (padded - H) * W * S
+    return out
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh"))

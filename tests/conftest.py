@@ -8,14 +8,11 @@ oracle in ``raytracing_tests_tpu/reference/``).
 """
 
 import os
-import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # the harness exports axon; tests are CPU-only
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 

@@ -34,7 +34,7 @@ def test_checkpoint_roundtrip_resumes_identically(trained, tmp_path):
     st, step, target = trained
     d = str(tmp_path / "ckpts")
     ckpt.save_train_state(d, st, 1)
-    st2, k = ckpt.restore_train_state(d)
+    st2, k = ckpt.restore_train_state(d, st)
     assert k == 1
     _, la = step(st, target)
     _, lb = step(st2, target)
@@ -48,12 +48,12 @@ def test_checkpoint_latest_selection(trained, tmp_path):
     ckpt.save_train_state(d, st, 20)
     ckpt.save_train_state(d, st, 10)
     assert ckpt.latest_checkpoint(d).endswith("ckpt_20.npz")
-    _, k = ckpt.restore_train_state(d)
+    _, k = ckpt.restore_train_state(d, st)
     assert k == 20
 
 
 def test_checkpoint_empty_dir(tmp_path):
-    st, k = ckpt.restore_train_state(str(tmp_path / "nope"))
+    st, k = ckpt.restore_train_state(str(tmp_path / "nope"), None)
     assert st is None and k == 0
 
 
