@@ -50,7 +50,11 @@ def main():
 
     scene = jax.device_put(scene)
     camera = jax.device_put(camera)
-    if renderer == "workqueue":
+    if renderer == "mega":
+        from raytracing_tests_tpu.ops.megaqueue import render_mega
+
+        fn = lambda s, c: render_mega(s, c, cfg, chunk=chunk)
+    elif renderer == "workqueue":
         from raytracing_tests_tpu.ops.workqueue import render_workqueue
 
         fn = lambda s, c: render_workqueue(s, c, cfg, chunk=chunk)

@@ -86,7 +86,7 @@ def fibonacci_hemisphere(sample_index, max_samples, scatteritivity, focus_dirn):
     """
     i = jnp.asarray(sample_index, jnp.float32)
     n = jnp.asarray(max_samples, jnp.float32)
-    y = 1.0 - i / (n - 1.0)
+    y = 1.0 - i / jnp.maximum(n - 1.0, 1.0)  # n=1: the single sample is the pole
     radius = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
     theta = GOLDEN_ANGLE * i
     x = jnp.cos(theta) * radius

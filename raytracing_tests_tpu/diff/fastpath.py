@@ -1,0 +1,149 @@
+"""Fast gradient rendering: Pallas winner-finding + closed-form recompute.
+
+Round 1 fell back to the dense XLA sweep for gradients (2.46 s/frame at
+400x225x4spp) because the Pallas kernels have no VJP.  This module removes
+the fallback without writing a backward kernel:
+
+  - The WINNER of the nearest-hit sweep is a discrete argmin — its gradient
+    is zero almost everywhere — so the Pallas sweep runs under
+    ``stop_gradient`` purely to produce the winning object index.
+  - Hit distance, normal, and material fields are then RECOMPUTED in closed
+    form from the scene parameters of that one object (per-lane gathers +
+    the sphere quadratic), and THIS path is differentiated.  Autodiff of the
+    recompute is exactly the analytic VJP of the sweep restricted to the
+    winner, which is the true gradient of the rendered value wherever the
+    winner is locally stable (i.e. away from silhouettes — see
+    ``soft_edges`` in ``ops.render`` for the edge-aware estimator).
+
+This is the TPU-native shape of a "backward megakernel": the expensive O(N)
+search happens once, forward-only, at kernel speed; the backward touches
+O(1) objects per lane.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from raytracing_tests_tpu.kernels.sweep import HitFields
+from raytracing_tests_tpu.kernels.sweep2 import (
+    Accel2, make_accel2, sweep2_nearest, sweep2_nearest_edge,
+)
+from raytracing_tests_tpu.ops.intersect import Hit
+
+
+@jax.tree_util.register_pytree_node_class
+class DiffAccel:
+    """Accel2 whose tables are detached; marks the differentiable path."""
+
+    def __init__(self, inner: Accel2):
+        self.inner = inner
+
+    mode = "spheres"
+
+    def tree_flatten(self):
+        return (self.inner,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0])
+
+
+def make_diff_accel(scene, has_motion: bool = True) -> DiffAccel:
+    detached = jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
+    return DiffAccel(make_accel2(detached, has_motion=has_motion))
+
+
+def _winner(accel: Accel2, o, d, time_ratio, t_limit):
+    """Original-scene index of the nearest hit (detached, Pallas-fast)."""
+    sg = jax.lax.stop_gradient
+    _, obj_sorted = sweep2_nearest(accel, sg(o), sg(d), sg(time_ratio), sg(t_limit))
+    return jnp.where(obj_sorted >= 0, accel.perm[jnp.maximum(obj_sorted, 0)], -1)
+
+
+def intersect_diff(accel: DiffAccel, scene, o, d, time_ratio, t_limit,
+                   soft: float = 0.0):
+    """(Hit, HitFields, alpha) with gradients w.r.t. scene params AND (o, d).
+
+    Sphere-mode only (isotropic spheres, cf. ``sweep2``).  The reference's
+    quadratic (01_Adding_Sphere glsl:76-86) differentiated through the
+    winner's closed form.
+
+    ``soft > 0`` enables the EDGE-AWARE estimator: lanes that narrowly miss
+    every object adopt the kernel's silhouette candidate, and all lanes get
+    a smooth coverage ``alpha`` = sigmoid(-(h - r) / (soft * t)) of their
+    candidate (h = ray-line distance to the center).  Hard visibility
+    becomes a differentiable blend over a ~``soft * t``-wide world-space
+    band, so d(image)/d(position, radius) carries the silhouette term that
+    plain autodiff through the discontinuous hit mask loses.  ``alpha`` is
+    None when ``soft == 0``.
+    """
+    sg = jax.lax.stop_gradient
+    if soft > 0.0:
+        _, obj_sorted, edge_sorted = sweep2_nearest_edge(
+            accel.inner, sg(o), sg(d), sg(time_ratio), sg(t_limit))
+        perm = accel.inner.perm
+        obj = jnp.where(obj_sorted >= 0, perm[jnp.maximum(obj_sorted, 0)], -1)
+        edge = jnp.where(edge_sorted >= 0, perm[jnp.maximum(edge_sorted, 0)], -1)
+        obj = jnp.where(obj >= 0, obj, edge)  # near-miss adopts the candidate
+    else:
+        obj = _winner(accel.inner, o, d, time_ratio, t_limit)
+    hit = obj >= 0
+    safe = jnp.maximum(obj, 0)
+
+    # Recompute the winner's hit with EXACTLY intersect_brute's math (same
+    # rotation/per-axis-scale frame), so gradients — including anisotropic
+    # d/d(scale_x) through a nominally isotropic sphere — match the dense
+    # path bit-for-bit.
+    from raytracing_tests_tpu.core import geometry, linalg
+
+    rot = scene.rotation[safe]
+    scale = scene.scale[safe]
+    otype = scene.obj_type[safe]
+    rel = (o - scene.position[safe]
+           + (1.0 - time_ratio)[:, None] * scene.delta_position[safe])
+    lo = linalg.apply_rotation_t(rot, rel)
+    ld = linalg.apply_rotation_t(rot, d)
+    t = geometry.ray_primitive_t(lo, ld, scale, otype)
+
+    alpha = None
+    if soft > 0.0:
+        # Isotropic coverage: h = distance from center to the ray line,
+        # evaluated at the closest-approach point t_cl (> 0 by the kernel's
+        # forward filter). Smooth both sides of the silhouette.
+        a = jnp.maximum(jnp.sum(d * d, axis=1), 1e-20)
+        half_b = jnp.sum(rel * d, axis=1)
+        t_cl = -half_b / a
+        h2 = jnp.sum(rel * rel, axis=1) - half_b * half_b / a
+        h = jnp.sqrt(jnp.maximum(h2, 1e-20))
+        r_iso = scale[:, 0]
+        band = soft * jnp.maximum(jnp.abs(t_cl), 1e-3)
+        alpha = jax.nn.sigmoid(-(h - r_iso) / band)
+        alpha = jnp.where(hit, alpha, 0.0)
+        # Geometric-miss lanes (adopted candidates) hit at the tangent point.
+        real = t < 2.9e38
+        t = jnp.where(real, t, t_cl)
+
+    t = jnp.where(hit, t, 1.0)
+    p_local = lo + t[:, None] * ld
+    n_local = geometry.primitive_normal(p_local, scale, otype)
+    normal = linalg.apply_rotation(rot, n_local)
+    local_pos = p_local / scale
+
+    flds = HitFields(
+        color=scene.color[safe],
+        refractive_index=scene.refractive_index[safe],
+        refractivity=scene.refractivity[safe],
+        reflectivity=scene.reflectivity[safe],
+        scatter_refract=scene.scatter_refract[safe],
+        scatter_reflect=scene.scatter_reflect[safe],
+        texture_index=scene.texture_index[safe],
+        emissive=scene.emissive[safe] & hit,
+    )
+    h = Hit(t=t, obj=obj, hit=hit, normal=normal, local_pos=local_pos)
+    return h, flds, alpha
+
+
+def occluded_nearest_obj_diff(accel: DiffAccel, scene, o, d, time_ratio, t_limit):
+    """Shadow-ray occlusion is discrete: detached winner index."""
+    return _winner(accel.inner, o, d, time_ratio, t_limit)

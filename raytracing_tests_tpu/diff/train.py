@@ -36,10 +36,16 @@ def render_loss(
     lights: Optional[Lights] = None,
 ):
     """Mean-squared pixel error of the (possibly sharded) render vs target."""
-    if cfg.early_exit or cfg.intersector in ("pallas", "bvh"):
+    if cfg.intersector == "pallas" and cfg.pallas_mode == "spheres":
+        # Fast gradient path: detached Pallas winner-finding + closed-form
+        # recompute of the winner's hit (diff/fastpath.py).  early_exit off:
+        # while_loop is not reverse-differentiable, the scan bounce loop is.
+        cfg = dataclasses.replace(cfg, early_exit=False, diff_mode=True)
+    elif cfg.early_exit or cfg.intersector in ("pallas", "bvh"):
         # while_loop is not reverse-differentiable (bvh traversal uses one)
-        # and the Pallas sweep has no VJP; gradient rendering uses the scan +
-        # dense-sweep formulation (identical outputs, tested).
+        # and the generic Pallas sweep has no VJP yet; gradient rendering
+        # falls back to the scan + dense-sweep formulation (identical
+        # outputs, tested).
         cfg = dataclasses.replace(
             cfg,
             early_exit=False,

@@ -1,0 +1,284 @@
+"""Forward megakernel: sweep + winner gather + surrounding-RI + SHADING in
+one Pallas kernel.
+
+The round-1 pipeline ran the Pallas sweep, then XLA did the material gather
+(16 ms/frame), the shading elementwise soup (19 ms), and the queue plumbing
+— every stage re-streaming (B, ...) arrays through HBM.  This kernel is the
+TPU shape of the reference's GLSL megakernel
+(``01_BoundingVolumeHierarchy/computeShaderSrc.glsl:415-594``): one pass per
+ray batch computes the nearest hit, the winner's material row (one-hot MXU
+matmul), the surrounding refractive index, the INW shading model, and the
+two spawned children — everything VMEM-resident.
+
+Scope (asserted by the caller): sphere-mode scenes, 'bvh' shading, no
+emissive lights, no textures — exactly the headline benchmark family.  The
+general renderer (``ops.render``) remains the fully-featured path.
+
+Pool record layout (16 rows x lanes, f32) shared with ``ops.megaqueue``:
+rows 0-2 origin, 3-5 direction, 6 omt (1 - time_ratio), 7 t_limit,
+8 contribution, 9 bounced, 10-15 spare (16 rows = two f32 sublane tiles).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracing_tests_tpu.kernels.sweep2 import (
+    BIG_T,
+    DEFAULT_L,
+    FT_CR, FT_CG, FT_CB, FT_MRI, FT_REFR, FT_REFL, FT_SRFR, FT_SRFL,
+    _gather_rows,
+    _interpret,
+    _ri_probe,
+    _sweep_loop,
+    _winner_refine,
+)
+
+P_OX, P_OY, P_OZ, P_DX, P_DY, P_DZ, P_OMT, P_TLIM, P_CONTRIB, P_BOUNCED = range(10)
+POOL_ROWS = 16
+
+GOLDEN_ANGLE = np.pi * (3.0 - np.sqrt(5.0))
+
+
+def _cross_up(dx, dy, dz):
+    """cross(d, (0,1,0)) and cross(that, d) on (1, L) planes."""
+    rx, ry, rz = -dz, jnp.zeros_like(dy), dx
+    ux = ry * dz - rz * dy
+    uy = rz * dx - rx * dz
+    uz = rx * dy - ry * dx
+    return rx, ry, rz, ux, uy, uz
+
+
+def _deviate(dx, dy, dz, sidx, spp: int, tan_theta):
+    """``sampling.deviate_within_cone`` on planes: sunflower offset in the
+    plane of cross(d, up) x cross(., d), scaled by the reference's 0.1."""
+    n = float(spp)
+    b = float(np.round(2.0 * np.sqrt(n)))
+    denom = n - (b + 1.0) / 2.0
+    denom = denom if denom > 0 else 1.0
+    half = tan_theta  # aperture = 2*tan_theta -> half = tan_theta
+    r = jnp.where(
+        sidx > n - b, half, half * jnp.sqrt(jnp.maximum(sidx - 0.5, 0.0) / denom)
+    )
+    r = jnp.where(sidx == 0.0, 0.0, r)
+    th = GOLDEN_ANGLE * sidx
+    offx = r * jnp.cos(th)
+    offy = r * jnp.sin(th)
+    rx, ry, rz, ux, uy, uz = _cross_up(dx, dy, dz)
+    vx = dx + 0.1 * (offx * rx + offy * ux)
+    vy = dy + 0.1 * (offx * ry + offy * uy)
+    vz = dz + 0.1 * (offx * rz + offy * uz)
+    inv = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-38))
+    return vx * inv, vy * inv, vz * inv
+
+
+def _mega_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
+                 has_dielectrics: bool, spp: int, max_bounces: int,
+                 t_max: float, bg_bottom, bg_top, use_mxu: bool):
+    def kernel(otab_ref, ftab_ref, gaabb_ref, pool_ref, lane_ref,
+               misc_out, refr_out, refl_out, rlane_out, llane_out,
+               t_sc, obj_sc):
+        rows16 = pool_ref[:]
+        ox, oy, oz = rows16[0:1], rows16[1:2], rows16[2:3]
+        dvec = rows16[3:6]
+        dx, dy, dz = rows16[3:4], rows16[4:5], rows16[5:6]
+        omt = rows16[6:7]
+        tlim = rows16[7:8]
+        contrib = rows16[8:9]
+        bounced = rows16[9:10]
+        lane = lane_ref[:]
+        active = lane >= 0
+        a = dx * dx + dy * dy + dz * dz
+        live = (a > 0.5) & active
+        L = ox.shape[1]
+
+        _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, dvec, omt,
+                    live, tlim, t_sc, obj_sc, None, None, n_groups=n_groups,
+                    gr=gr, has_motion=has_motion, use_mxu=use_mxu,
+                    with_edge=False)
+        t_best = t_sc[:]
+        obj_best = obj_sc[:]
+        hit = (obj_best >= 0) & active
+        rows = _gather_rows(ftab_ref, obj_best, n_pad, L)
+        t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine(
+            rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
+
+        did_hit = hit
+        missed = active & ~hit
+
+        # Background gradient (01_BVH glsl:521-540).
+        tt = (dy + 1.0) * 0.5
+        bgr = (1.0 - tt) * bg_bottom[0] + tt * bg_top[0]
+        bgg = (1.0 - tt) * bg_bottom[1] + tt * bg_top[1]
+        bgb = (1.0 - tt) * bg_bottom[2] + tt * bg_top[2]
+        miss_c = jnp.where(missed, contrib, 0.0)
+        add_r = miss_c * bgr
+        add_g = miss_c * bgg
+        add_b = miss_c * bgb
+
+        if has_dielectrics:
+            sur_ri = _ri_probe(
+                otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
+                pz + 1e-3 * nz, omt, n_groups=n_groups, gr=gr,
+                has_motion=has_motion, use_mxu=use_mxu)
+        else:
+            sur_ri = jnp.ones((1, L), jnp.float32)
+
+        mat_ri = rows[FT_MRI : FT_MRI + 1]
+        refrv = rows[FT_REFR : FT_REFR + 1]
+        reflv = rows[FT_REFL : FT_REFL + 1]
+        srfr = rows[FT_SRFR : FT_SRFR + 1]
+        srfl = rows[FT_SRFL : FT_SRFL + 1]
+
+        sidx = (lane - (lane // spp) * spp).astype(jnp.float32)
+        bounced1 = bounced + 1.0
+        can_spawn = (((reflv > 0.002) | (refrv > 0.002)) & (contrib > 0.01)
+                     & (bounced1 < float(max_bounces)) & did_hit)
+
+        ndotd = nx * dx + ny * dy + nz * dz
+        inner = ndotd > 0.0
+
+        # Outer reflection: mirror + cone deviation (01_BVH glsl:556-566).
+        rlx = dx - 2.0 * ndotd * nx
+        rly = dy - 2.0 * ndotd * ny
+        rlz = dz - 2.0 * ndotd * nz
+        rinv = jax.lax.rsqrt(jnp.maximum(rlx * rlx + rly * rly + rlz * rlz,
+                                         1e-38))
+        rlx, rly, rlz = rlx * rinv, rly * rinv, rlz * rinv
+        dvx, dvy, dvz = _deviate(rlx, rly, rlz, sidx, spp, srfl)
+        use_dev = srfl > 0.001
+        rlx = jnp.where(use_dev, dvx, rlx)
+        rly = jnp.where(use_dev, dvy, rly)
+        rlz = jnp.where(use_dev, dvz, rlz)
+
+        # Outer refraction (glsl:567-577): eta = sur/mat.
+        eta_o = sur_ri / jnp.maximum(mat_ri, 1e-6)
+        cos_i = -ndotd  # > 0 for outer hits
+        k_o = 1.0 - eta_o * eta_o * (1.0 - cos_i * cos_i)
+        sqk_o = jnp.sqrt(jnp.maximum(k_o, 0.0))
+        rfx = eta_o * dx + (eta_o * cos_i - sqk_o) * nx
+        rfy = eta_o * dy + (eta_o * cos_i - sqk_o) * ny
+        rfz = eta_o * dz + (eta_o * cos_i - sqk_o) * nz
+        finv = jax.lax.rsqrt(jnp.maximum(rfx * rfx + rfy * rfy + rfz * rfz,
+                                         1e-38))
+        rfx, rfy, rfz = rfx * finv, rfy * finv, rfz * finv
+        fvx, fvy, fvz = _deviate(rfx, rfy, rfz, sidx, spp, srfr)
+        use_fdev = (srfr > 0.001) & (k_o > 0.0)
+        rfx = jnp.where(use_fdev, fvx, rfx)
+        rfy = jnp.where(use_fdev, fvy, rfy)
+        rfz = jnp.where(use_fdev, fvz, rfz)
+        refr_ok_o = k_o > 0.0
+
+        # Inner hit (glsl:578-585): flip normal, eta = mat/sur; TIR reflects.
+        eta_i = mat_ri / jnp.maximum(sur_ri, 1e-6)
+        cos_ii = ndotd  # = -(d . n_in), > 0 for inner hits
+        k_i = 1.0 - eta_i * eta_i * (1.0 - cos_ii * cos_ii)
+        sqk_i = jnp.sqrt(jnp.maximum(k_i, 0.0))
+        ifx = eta_i * dx - (eta_i * cos_ii - sqk_i) * nx
+        ify = eta_i * dy - (eta_i * cos_ii - sqk_i) * ny
+        ifz = eta_i * dz - (eta_i * cos_ii - sqk_i) * nz
+        tir = k_i <= 0.0
+        refr_ok_i = ~tir
+
+        # Select inner/outer children.  (Logical ops, not jnp.where on
+        # bools: Mosaic lowers a bool select via an i8->i1 trunci it cannot
+        # compile.)
+        spawn_refr = can_spawn & ((inner & refr_ok_i)
+                                  | (~inner & refr_ok_o & (refrv > 0.002)))
+        spawn_refl = can_spawn & ((inner & tir) | (~inner & (reflv > 0.002)))
+        cdx = jnp.where(inner, ifx, rfx)
+        cdy = jnp.where(inner, ify, rfy)
+        cdz = jnp.where(inner, ifz, rfz)
+        # Inner TIR reflection = mirror about n_in (same mirror formula).
+        mrx = dx - 2.0 * ndotd * nx
+        mry = dy - 2.0 * ndotd * ny
+        mrz = dz - 2.0 * ndotd * nz
+        clx = jnp.where(inner, mrx, rlx)
+        cly = jnp.where(inner, mry, rly)
+        clz = jnp.where(inner, mrz, rlz)
+
+        nox = jnp.where(inner, -nx, nx)  # outward-facing normal
+        noy = jnp.where(inner, -ny, ny)
+        noz = jnp.where(inner, -nz, nz)
+
+        refr_contrib = contrib * refrv
+        refl_contrib = contrib * reflv
+        fwd = (jnp.where(spawn_refr, refrv, 0.0)
+               + jnp.where(spawn_refl, reflv, 0.0))
+        contrib_post = contrib * (1.0 - 0.5 * fwd)
+        hit_c = jnp.where(did_hit, contrib_post, 0.0)
+        add_r = add_r + hit_c * rows[FT_CR : FT_CR + 1]
+        add_g = add_g + hit_c * rows[FT_CG : FT_CG + 1]
+        add_b = add_b + hit_c * rows[FT_CB : FT_CB + 1]
+
+        hit_t = jnp.where(hit, t_best, t_max)
+        zeros = jnp.zeros((1, L), jnp.float32)
+        misc_out[:] = jnp.concatenate(
+            [add_r, add_g, add_b, hit_t, zeros, zeros, zeros, zeros], axis=0)
+
+        tmax_row = jnp.full((1, L), t_max, jnp.float32)
+        z6 = jnp.zeros((6, L), jnp.float32)
+        refr_out[:] = jnp.concatenate([
+            px - 1e-4 * nox, py - 1e-4 * noy, pz - 1e-4 * noz,
+            cdx, cdy, cdz, omt, tmax_row, refr_contrib, bounced1, z6,
+        ], axis=0)
+        refl_out[:] = jnp.concatenate([
+            px + 1e-4 * nox, py + 1e-4 * noy, pz + 1e-4 * noz,
+            clx, cly, clz, omt, tmax_row, refl_contrib, bounced1, z6,
+        ], axis=0)
+        rlane_out[:] = jnp.where(spawn_refr, lane, -1)
+        llane_out[:] = jnp.where(spawn_refl, lane, -1)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gr", "has_motion", "has_dielectrics", "spp",
+                     "max_bounces", "t_max", "bg", "block", "use_mxu"))
+def mega_step(otab, ftab, gaabb, pool, lane, gr: int, has_motion: bool,
+              has_dielectrics: bool, spp: int, max_bounces: int,
+              t_max: float, bg, block: int = DEFAULT_L,
+              use_mxu: bool = False):
+    """One fused shade step over a (16, C) pool slice.
+
+    Returns (misc (8, C), refr (16, C), refl (16, C), rlane (C,), llane (C,))
+    where misc rows are [add_r, add_g, add_b, hit_t, 0...].
+    """
+    n_pad = otab.shape[0]
+    n_groups = n_pad // gr
+    C = pool.shape[1]
+    grid = (C // block,)
+    lane2 = lane.reshape(1, C)
+    lane_spec = lambda rows: pl.BlockSpec(
+        (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    full = lambda x: pl.BlockSpec(x.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    misc, refr, refl, rlane, llane = pl.pallas_call(
+        _mega_kernel(n_pad, n_groups, gr, has_motion, has_dielectrics, spp,
+                     max_bounces, t_max, bg[0], bg[1], use_mxu),
+        grid=grid,
+        in_specs=[full(otab), full(ftab), full(gaabb), lane_spec(POOL_ROWS),
+                  lane_spec(1)],
+        out_specs=(lane_spec(8), lane_spec(POOL_ROWS), lane_spec(POOL_ROWS),
+                   lane_spec(1), lane_spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, C), jnp.float32),
+            jax.ShapeDtypeStruct((POOL_ROWS, C), jnp.float32),
+            jax.ShapeDtypeStruct((POOL_ROWS, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.int32),
+            jax.ShapeDtypeStruct((1, C), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, block), jnp.float32),
+            pltpu.VMEM((1, block), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(otab, ftab, gaabb, pool, lane2)
+    return misc, refr, refl, rlane[0], llane[0]

@@ -1,0 +1,651 @@
+"""Sweep kernel v2: rays-on-lanes, MXU-formulated sphere quadratic.
+
+Round-2 redesign of ``kernels/sweep.py`` (v1 keeps rays on a (RB, 128)
+sublane x lane block and loops objects as SMEM scalars at ~35 VPU ops per
+lane-object).  v2 restructures for the MXU and cheaper tails:
+
+  - RAYS live on the lane axis only: a block is L lanes of 8 stacked rows
+    (ox..oz, dx..dz, omt, tlim) = one f32 sublane tile.
+  - OBJECTS live on the sublane axis in Morton-sorted groups of ``GR`` rows.
+    Per group, the ray/object dot products are (GR, 1) x (1, L) broadcast
+    FMAs; the remaining tail is ~19 VPU ops per (object, ray) — the
+    quadratic is pre-expanded so per-object constants fold into one fused
+    column broadcast:
+        c_q   = |o|^2 + K1 - 2*(C @ o),      K1 = |c|^2 - r^2  (BIG if dead)
+        -b/2  = (C @ d) - (o . d)
+    (motion adds the delta-position cross terms K2 = 2 c.dp, K3 = |dp|^2).
+  - Group-level AABB culling: one slab test per group on (1, L) planes and a
+    block-wide ``@pl.when`` — the TPU shape of the reference's BVH node test
+    (01_BVH glsl:187-210): no per-lane divergence, pixel-coherent blocks
+    skip whole groups.
+  - The winner's material row is gathered IN-KERNEL by a one-hot MXU matmul
+    (fields_t (F, N) @ onehot (N, L)), replacing the external gather; the
+    surrounding-refractive-index probe reuses the same expansion (the r^2
+    terms cancel: inside <=> |q|^2 + K1 - 2*(C @ q) + motion <= 0).
+
+Directions are assumed unit (primary rays and all spawned children are
+normalized); dead lanes carry d = 0 and are killed by an o.d := 1e19 guard
+(their near root goes negative, the far root lands at ~0).
+
+MXU note: ``use_mxu=True`` lowers the K=3 dot products to
+``lax.dot_general`` — measured WRONG on real v5e hardware (Mosaic pads the
+K dim of a sliced operand with the neighboring rows/columns instead of
+zeros, so omt/tlim rows leak into the contraction; interpret mode is
+exact).  It stays available for experiments but defaults OFF.  The one-hot
+winner gather keeps its MXU matmul: its contraction spans the FULL table
+axis, so no K padding exists to leak.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracing_tests_tpu.ops.intersect import Hit
+from raytracing_tests_tpu.scene.types import Scene
+
+BIG_T = 3.0e38
+DEAD_OD = 1.0e19  # o.d sentinel for zero-direction lanes: kills both roots
+LANE = 128
+DEFAULT_L = 2048  # ray lanes per grid block (measured best on v5e)
+DEFAULT_GR = 128  # objects per culling group (sublane rows)
+
+# Object-table (Np, 128) column indices ("otab"): per-object sweep constants.
+(
+    OT_CX, OT_CY, OT_CZ, OT_K1, OT_DPX, OT_DPY, OT_DPZ, OT_K2, OT_K3, OT_RI,
+    OT_RINV2,
+) = range(11)
+OT_COLS = 128  # lane-padded
+
+# Transposed fields table (F, Np) row indices ("ftab"): gathered per winner.
+(
+    FT_CX, FT_CY, FT_CZ, FT_RINV, FT_DPX, FT_DPY, FT_DPZ,
+    FT_CR, FT_CG, FT_CB, FT_MRI, FT_REFR, FT_REFL, FT_SRFR, FT_SRFL,
+    FT_TEX, FT_EMIS, FT_OBJ, FT_R2,
+) = range(19)
+FT_ROWS = 24  # sublane-padded (3 f32 tiles)
+
+# Kernel hit-output (16, Bp) row indices.
+(
+    V_T, V_RI, V_NX, V_NY, V_NZ, V_CR, V_CG, V_CB, V_MRI,
+    V_REFR, V_REFL, V_SRFR, V_SRFL, V_TEX, V_EMIS, V_OBJ,
+) = range(16)
+V_ROWS = 16
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Packing (host/trace side)
+# ---------------------------------------------------------------------------
+
+
+def pack_tables(scene: Scene, order, n_pad: int, anchor):
+    """Morton-ordered scene -> (otab (Np, 128), ftab (FT_ROWS, Np)).
+
+    ``order`` is the sorted->original permutation; invalid and padding rows
+    get K1 = BIG (kills the quadratic AND the RI containment test).
+    ``anchor`` is the (n_pad, 3) per-object GROUP center: the quadratic is
+    expanded around it (c' = c - anchor), so the |c'|^2 - r^2 cancellation
+    stays well-conditioned — Morton groups are spatially tight, and a huge
+    isolated object anchors at ~its own center, recovering the v1 form.
+    """
+    s = {f: getattr(scene, f)[order] for f in (
+        "position", "scale", "delta_position", "color", "refractive_index",
+        "refractivity", "reflectivity", "scatter_refract", "scatter_reflect",
+        "texture_index", "emissive", "valid",
+    )}
+    n = order.shape[0]
+    c = s["position"] - anchor[:n]  # group-relative centers
+    r = s["scale"][:, 0]
+    dp = s["delta_position"]
+    valid = s["valid"]
+    k1 = jnp.sum(c * c, axis=1) - r * r
+    k1 = jnp.where(valid, k1, BIG_T)
+    k2 = 2.0 * jnp.sum(c * dp, axis=1)
+    k3 = jnp.sum(dp * dp, axis=1)
+
+    # Invalid rows keep a tiny-but-nonzero rinv2 so the edge metric
+    # (c_q - nb^2) * rinv2 stays huge (K1 = BIG) instead of collapsing to 0.
+    rinv2 = jnp.where(valid, 1.0 / jnp.maximum(r * r, 1e-30), 1e-30)
+    otab = jnp.zeros((n_pad, OT_COLS), jnp.float32)
+    cols = [c[:, 0], c[:, 1], c[:, 2], k1, dp[:, 0], dp[:, 1], dp[:, 2],
+            k2, k3, s["refractive_index"], rinv2]
+    body = jnp.stack(cols, axis=1)  # (n, 11)
+    otab = otab.at[:n, : body.shape[1]].set(body)
+    otab = otab.at[n:, OT_K1].set(BIG_T)  # padding rows are dead
+    otab = otab.at[n:, OT_RINV2].set(1e-30)
+    c = s["position"]  # ftab keeps ABSOLUTE centers (normal computation)
+
+    rinv = jnp.where(valid, 1.0 / jnp.maximum(r, 1e-20), 0.0)
+    frows = [
+        c[:, 0], c[:, 1], c[:, 2], rinv, dp[:, 0], dp[:, 1], dp[:, 2],
+        s["color"][:, 0], s["color"][:, 1], s["color"][:, 2],
+        s["refractive_index"], s["refractivity"], s["reflectivity"],
+        s["scatter_refract"], s["scatter_reflect"],
+        s["texture_index"].astype(jnp.float32),
+        s["emissive"].astype(jnp.float32),
+        order.astype(jnp.float32),
+        r * r,
+    ]
+    ftab = jnp.zeros((FT_ROWS, n_pad), jnp.float32)
+    ftab = ftab.at[: len(frows), :n].set(jnp.stack(frows))
+    return otab, ftab
+
+
+def pack_rays(o, d, time_ratio, t_limit, block: int):
+    """(B, 3) x2 + (B,) x2 -> (8, Bp) ray matrix, lane-padded to ``block``."""
+    B = o.shape[0]
+    Bp = -(-B // block) * block
+    rows = jnp.stack([
+        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        1.0 - time_ratio, t_limit,
+    ])
+    if Bp != B:
+        rows = jnp.pad(rows, ((0, 0), (0, Bp - B)))
+    return rows, B
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _slab_hit(gaabb_ref, g, ox, oy, oz, ix, iy, iz, t_best):
+    """Group-AABB slab test on (1, L) planes -> (1, L) bool."""
+    u1 = (gaabb_ref[g, 0] - ox) * ix
+    w1 = (gaabb_ref[g, 3] - ox) * ix
+    u2 = (gaabb_ref[g, 1] - oy) * iy
+    w2 = (gaabb_ref[g, 4] - oy) * iy
+    u3 = (gaabb_ref[g, 2] - oz) * iz
+    w3 = (gaabb_ref[g, 5] - oz) * iz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(u1, w1), jnp.minimum(u2, w2)),
+                       jnp.minimum(u3, w3))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(u1, w1), jnp.maximum(u2, w2)),
+                       jnp.maximum(u3, w3))
+    return (tmax > tmin) & (tmax > 0.0) & (tmin < t_best)
+
+
+def _point_in_aabb(gaabb_ref, g, qx, qy, qz):
+    return ((qx >= gaabb_ref[g, 0]) & (qx <= gaabb_ref[g, 3])
+            & (qy >= gaabb_ref[g, 1]) & (qy <= gaabb_ref[g, 4])
+            & (qz >= gaabb_ref[g, 2]) & (qz <= gaabb_ref[g, 5]))
+
+
+def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, dvec, omt, live,
+                tlim, t_sc, obj_sc, m_sc, e_sc, *, n_groups, gr, has_motion,
+                use_mxu, with_edge):
+    """The grouped nearest-hit sweep writing best (t, obj[, edge]) into the
+    scratch refs.  Shared by the sweep kernels and the megakernel."""
+    dn = (((1,), (0,)), ((), ()))
+    L = ox.shape[1]
+    eps = 1e-12
+    ix = 1.0 / jnp.where(jnp.abs(dx) < eps, eps, dx)
+    iy = 1.0 / jnp.where(jnp.abs(dy) < eps, eps, dy)
+    iz = 1.0 / jnp.where(jnp.abs(dz) < eps, eps, dz)
+
+    t_sc[:] = jnp.minimum(jnp.full((1, L), BIG_T, jnp.float32), tlim)
+    obj_sc[:] = jnp.full((1, L), -1, jnp.int32)
+    if with_edge:
+        m_sc[:] = jnp.full((1, L), BIG_T, jnp.float32)
+        e_sc[:] = jnp.full((1, L), -1, jnp.int32)
+
+    for g in range(n_groups):
+        ghit = _slab_hit(gaabb_ref, g, ox, oy, oz, ix, iy, iz, t_sc[:])
+
+        @pl.when(jnp.any(ghit))
+        def _(g=g):
+            sl = slice(g * gr, (g + 1) * gr)
+            C = otab_ref[sl, OT_CX : OT_CZ + 1]  # (GR, 3) group-rel
+            k1 = otab_ref[sl, OT_K1 : OT_K1 + 1]  # (GR, 1)
+            # Shift rays into the group-anchored frame.
+            sx = ox - gaabb_ref[g, 6]
+            sy = oy - gaabb_ref[g, 7]
+            sz = oz - gaabb_ref[g, 8]
+            od = sx * dx + sy * dy + sz * dz
+            od = jnp.where(live, od, DEAD_OD)
+            oo = sx * sx + sy * sy + sz * sz
+            if use_mxu:
+                ovec = jnp.concatenate([sx, sy, sz], axis=0)
+                DC = jax.lax.dot_general(
+                    C, dvec, dn, preferred_element_type=jnp.float32)
+                OC = jax.lax.dot_general(
+                    C, ovec, dn, preferred_element_type=jnp.float32)
+            else:
+                cx = otab_ref[sl, OT_CX : OT_CX + 1]
+                cy = otab_ref[sl, OT_CY : OT_CY + 1]
+                cz = otab_ref[sl, OT_CZ : OT_CZ + 1]
+                DC = cx * dx + cy * dy + cz * dz
+                OC = cx * sx + cy * sy + cz * sz
+            nb = DC - od  # = -half_b, (GR, L)
+            c_q = oo + k1 - 2.0 * OC
+            if has_motion:
+                dpm = otab_ref[sl, OT_DPX : OT_DPZ + 1]
+                k2 = otab_ref[sl, OT_K2 : OT_K2 + 1]
+                k3 = otab_ref[sl, OT_K3 : OT_K3 + 1]
+                if use_mxu:
+                    DDP = jax.lax.dot_general(
+                        dpm, dvec, dn, preferred_element_type=jnp.float32)
+                    ODP = jax.lax.dot_general(
+                        dpm, ovec, dn, preferred_element_type=jnp.float32)
+                else:
+                    dpx = otab_ref[sl, OT_DPX : OT_DPX + 1]
+                    dpy = otab_ref[sl, OT_DPY : OT_DPY + 1]
+                    dpz = otab_ref[sl, OT_DPZ : OT_DPZ + 1]
+                    DDP = dpx * dx + dpy * dy + dpz * dz
+                    ODP = dpx * sx + dpy * sy + dpz * sz
+                nb = nb - omt * DDP
+                c_q = c_q + omt * (2.0 * ODP - k2) + (omt * omt) * k3
+            disc = nb * nb - c_q
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            tn = nb - sq  # near root (a == 1)
+            tf = nb + sq
+            t = jnp.where(tn > 0.0, tn, tf)
+            pred = (disc > 0.0) & (t > 0.0)
+            tc = jnp.where(pred, t, BIG_T)
+            gmin = jnp.min(tc, axis=0, keepdims=True)  # (1, L)
+            rid = g * gr + jax.lax.broadcasted_iota(jnp.int32, (gr, L), 0)
+            gobj = jnp.min(
+                jnp.where(tc == gmin, rid, jnp.int32(0x7FFFFFFF)),
+                axis=0, keepdims=True)
+            better = gmin < t_sc[:]
+            t_sc[:] = jnp.where(better, gmin, t_sc[:])
+            obj_sc[:] = jnp.where(better, gobj, obj_sc[:])
+            if with_edge:
+                # Silhouette-candidate metric (h/r)^2 - 1 where h is the
+                # ray-line/center distance: (c_q - nb^2)*rinv2.
+                rinv2 = otab_ref[sl, OT_RINV2 : OT_RINV2 + 1]
+                fwd = nb > 0.0  # candidate must be in front
+                me = jnp.where(fwd, (c_q - nb * nb) * rinv2, BIG_T)
+                gm = jnp.min(me, axis=0, keepdims=True)
+                ge = jnp.min(
+                    jnp.where(me == gm, rid, jnp.int32(0x7FFFFFFF)),
+                    axis=0, keepdims=True)
+                be = gm < m_sc[:]
+                m_sc[:] = jnp.where(be, gm, m_sc[:])
+                e_sc[:] = jnp.where(be, ge, e_sc[:])
+
+
+def _gather_rows(ftab_ref, obj_best, n_pad, L):
+    """One-hot winner gather on the MXU: (F, N) @ (N, L) -> (FT_ROWS, L).
+
+    Precision.HIGHEST: the MXU's default bf16 passes would round every
+    gathered field (object ids > 256 quantize, r^2 = 1e6 rounds by ~4e3);
+    the 6-pass f32 emulation is exact here since the one-hot operand is
+    exactly bf16-representable."""
+    rid_full = jax.lax.broadcasted_iota(jnp.int32, (n_pad, L), 0)
+    oh = (rid_full == obj_best).astype(jnp.float32)
+    return jax.lax.dot_general(
+        ftab_ref[:], oh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _winner_refine(rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion):
+    """Re-solve the winner's quadratic DIRECTLY in its own frame
+    (rel = o - c, v1's well-conditioned form) and derive the hit normal.
+    The group-anchored sweep t carries up to ~7e-3 absolute error — bigger
+    than the 1e-4 surface offset children spawn from, which produced
+    spurious interior bounces (+13% rays, darker image).
+    Returns (t_best, t_safe, px, py, pz, nx, ny, nz)."""
+    cex = rows[FT_CX : FT_CX + 1]
+    cey = rows[FT_CY : FT_CY + 1]
+    cez = rows[FT_CZ : FT_CZ + 1]
+    if has_motion:
+        cex = cex - omt * rows[FT_DPX : FT_DPX + 1]
+        cey = cey - omt * rows[FT_DPY : FT_DPY + 1]
+        cez = cez - omt * rows[FT_DPZ : FT_DPZ + 1]
+    rex = ox - cex
+    rey = oy - cey
+    rez = oz - cez
+    hb = rex * dx + rey * dy + rez * dz
+    cq = rex * rex + rey * rey + rez * rez - rows[FT_R2 : FT_R2 + 1]
+    disc = hb * hb - cq
+    sqw = jnp.sqrt(jnp.maximum(disc, 0.0))
+    tn = -hb - sqw
+    tf = -hb + sqw
+    t_ref = jnp.where(tn > 0.0, tn, tf)
+    ok = hit & (disc > 0.0) & (t_ref > 0.0)
+    t_best = jnp.where(ok, t_ref, t_best)
+    t_safe = jnp.where(hit, t_best, 1.0)
+    px = ox + t_safe * dx
+    py = oy + t_safe * dy
+    pz = oz + t_safe * dz
+    rinv = rows[FT_RINV : FT_RINV + 1]
+    nx = (px - cex) * rinv
+    ny = (py - cey) * rinv
+    nz = (pz - cez) * rinv
+    return t_best, t_safe, px, py, pz, nx, ny, nz
+
+
+def _ri_probe(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
+              has_motion, use_mxu):
+    """Surrounding-RI containment sum at probe point q; same quadratic
+    expansion as the sweep (r^2 cancels: inside <=> qq + K1 - 2 C.q <= 0)."""
+    dn = (((1,), (0,)), ((), ()))
+    L = qx.shape[1]
+    acc = jnp.zeros((1, L), jnp.float32)
+    cnt = jnp.zeros((1, L), jnp.float32)
+    for g in range(n_groups):
+        sl = slice(g * gr, (g + 1) * gr)
+        C = otab_ref[sl, OT_CX : OT_CZ + 1]
+        k1 = otab_ref[sl, OT_K1 : OT_K1 + 1]
+        ri_col = otab_ref[sl, OT_RI : OT_RI + 1]
+        ux = qx - gaabb_ref[g, 6]  # group-anchored probe point
+        uy = qy - gaabb_ref[g, 7]
+        uz = qz - gaabb_ref[g, 8]
+        qq = ux * ux + uy * uy + uz * uz
+        if use_mxu:
+            qvec = jnp.concatenate([ux, uy, uz], axis=0)
+            QC = jax.lax.dot_general(
+                C, qvec, dn, preferred_element_type=jnp.float32)
+        else:
+            QC = (otab_ref[sl, OT_CX : OT_CX + 1] * ux
+                  + otab_ref[sl, OT_CY : OT_CY + 1] * uy
+                  + otab_ref[sl, OT_CZ : OT_CZ + 1] * uz)
+        lhs = qq + k1 - 2.0 * QC
+        if has_motion:
+            k2 = otab_ref[sl, OT_K2 : OT_K2 + 1]
+            k3 = otab_ref[sl, OT_K3 : OT_K3 + 1]
+            dpm = otab_ref[sl, OT_DPX : OT_DPZ + 1]
+            if use_mxu:
+                QDP = jax.lax.dot_general(
+                    dpm, qvec, dn, preferred_element_type=jnp.float32)
+            else:
+                QDP = (otab_ref[sl, OT_DPX : OT_DPX + 1] * ux
+                       + otab_ref[sl, OT_DPY : OT_DPY + 1] * uy
+                       + otab_ref[sl, OT_DPZ : OT_DPZ + 1] * uz)
+            lhs = lhs + omt * (2.0 * QDP - k2) + (omt * omt) * k3
+        inside = lhs <= 0.0
+        acc = acc + jnp.sum(jnp.where(inside, ri_col, 0.0), axis=0,
+                            keepdims=True)
+        cnt = cnt + jnp.sum(inside.astype(jnp.float32), axis=0, keepdims=True)
+    return jnp.where(acc > 1.0, acc / jnp.maximum(cnt, 1.0), 1.0)
+
+
+def _sweep2_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
+                   with_ri: bool, with_fields: bool, use_mxu: bool,
+                   with_edge: bool = False):
+    """Kernel factory. Outputs: always (t, obj); ``with_fields`` adds the
+    (V_ROWS, L) hit block (normal + material row + surrounding RI);
+    ``with_edge`` adds the near-miss silhouette candidate
+    argmin_i (perp_dist_i / r_i)^2 for the soft-edge gradient estimator."""
+
+    def kernel(otab_ref, ftab_ref, gaabb_ref, rays_ref, t_out, obj_out,
+               *maybe_out):
+        rays = rays_ref[:]
+        ox, oy, oz = rays[0:1], rays[1:2], rays[2:3]
+        dvec = rays[3:6]  # (3, L)
+        dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
+        omt = rays[6:7]
+        tlim = rays[7:8]
+        a = dx * dx + dy * dy + dz * dz
+        live = a > 0.5  # dead lanes carry d = 0 (unit dirs otherwise)
+        L = ox.shape[1]
+
+        def run(t_sc, obj_sc, m_sc=None, e_sc=None):
+            _sweep_loop(
+                otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, dvec, omt, live,
+                tlim, t_sc, obj_sc, m_sc, e_sc, n_groups=n_groups, gr=gr,
+                has_motion=has_motion, use_mxu=use_mxu, with_edge=with_edge)
+
+            t_best = t_sc[:]
+            obj_best = obj_sc[:]
+            hit = obj_best >= 0
+            t_out[:] = jnp.where(hit, t_best, BIG_T)
+            obj_out[:] = obj_best
+            if with_edge:
+                maybe_out[0][:] = e_sc[:]
+
+            if not with_fields:
+                return
+
+            hit_out = maybe_out[1] if with_edge else maybe_out[0]
+            rows = _gather_rows(ftab_ref, obj_best, n_pad, L)
+            t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine(
+                rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
+            t_out[:] = jnp.where(hit, t_best, BIG_T)  # refined overwrite
+
+            if with_ri:
+                sur_ri = _ri_probe(
+                    otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
+                    pz + 1e-3 * nz, omt, n_groups=n_groups, gr=gr,
+                    has_motion=has_motion, use_mxu=use_mxu)
+            else:
+                sur_ri = jnp.ones((1, L), jnp.float32)
+
+            hit_out[:] = jnp.concatenate([
+                jnp.where(hit, t_best, BIG_T), sur_ri, nx, ny, nz,
+                rows[FT_CR : FT_CR + 1], rows[FT_CG : FT_CG + 1],
+                rows[FT_CB : FT_CB + 1],
+                rows[FT_MRI : FT_MRI + 1], rows[FT_REFR : FT_REFR + 1],
+                rows[FT_REFL : FT_REFL + 1], rows[FT_SRFR : FT_SRFR + 1],
+                rows[FT_SRFL : FT_SRFL + 1], rows[FT_TEX : FT_TEX + 1],
+                rows[FT_EMIS : FT_EMIS + 1], rows[FT_OBJ : FT_OBJ + 1],
+            ], axis=0)
+
+        scoped = dict(
+            t_sc=pltpu.VMEM((1, ox.shape[1]), jnp.float32),
+            obj_sc=pltpu.VMEM((1, ox.shape[1]), jnp.int32),
+        )
+        if with_edge:
+            scoped["m_sc"] = pltpu.VMEM((1, ox.shape[1]), jnp.float32)
+            scoped["e_sc"] = pltpu.VMEM((1, ox.shape[1]), jnp.int32)
+        pl.run_scoped(run, **scoped)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrapper + accel
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class Accel2:
+    """v2 sphere-mode accel: Morton-grouped tables + group AABBs."""
+
+    def __init__(self, otab, ftab, gaabb, perm, gr: int, has_motion: bool):
+        self.otab = otab  # (Np, 128)
+        self.ftab = ftab  # (FT_ROWS, Np)
+        self.gaabb = gaabb  # (G, 128) rows: lo3 hi3
+        self.perm = perm  # (N,) sorted -> original
+        self.gr = gr
+        self.has_motion = has_motion
+
+    mode = "spheres"
+
+    def tree_flatten(self):
+        return (self.otab, self.ftab, self.gaabb, self.perm), (
+            self.gr, self.has_motion)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, aux[0], aux[1])
+
+
+def make_accel2(scene: Scene, gr: int = DEFAULT_GR,
+                has_motion: bool = True) -> Accel2:
+    """Morton-order objects into groups of ``gr``; huge objects isolated
+    into leading always-tested groups (same policy as v1 ``make_accel``)."""
+    from raytracing_tests_tpu.bvh.build import morton3d
+
+    lo, hi = scene.world_aabbs()
+    valid = scene.valid
+    big = jnp.max(jnp.where(valid[:, None], hi, -jnp.inf), axis=0)
+    lo_v = jnp.where(valid[:, None], lo, big)
+    hi_v = jnp.where(valid[:, None], hi, big)
+    slo = jnp.min(lo_v, axis=0)
+    sext = jnp.maximum(jnp.max(hi_v, axis=0) - slo, 1e-12)
+    codes = morton3d(((lo_v + hi_v) * 0.5 - slo) / sext)
+    size = jnp.max(hi_v - lo_v, axis=-1) / jnp.max(sext)
+    huge = (size > 0.5) & valid
+    codes = jnp.where(valid, codes >> jnp.uint32(2), jnp.uint32(0x3FFFFFFF))
+    key = jnp.where(huge, jnp.uint32(0), codes + jnp.uint32(1))
+    order = jnp.argsort(key).astype(jnp.int32)
+
+    n = scene.capacity
+    n_pad = -(-n // gr) * gr
+
+    INF = 3.0e38
+    lo_s = jnp.where(valid[order][:, None], lo[order], INF)
+    hi_s = jnp.where(valid[order][:, None], hi[order], -INF)
+    if n_pad != n:
+        lo_s = jnp.concatenate([lo_s, jnp.full((n_pad - n, 3), INF)])
+        hi_s = jnp.concatenate([hi_s, jnp.full((n_pad - n, 3), -INF)])
+    glo = jnp.min(lo_s.reshape(-1, gr, 3), axis=1)  # (G, 3)
+    ghi = jnp.max(hi_s.reshape(-1, gr, 3), axis=1)
+    G = glo.shape[0]
+    # Per-group quadratic anchor: MEDIAN of member centers, robust to a huge
+    # outlier sharing the group (the ground sphere would otherwise drag an
+    # AABB-center anchor ~its radius away from every small member, and the
+    # |c'|^2 - r^2 cancellation would blow past the v1 kernel's error).
+    cen = scene.position[order]
+    v_s = valid[order]
+    if n_pad != n:
+        cen = jnp.concatenate([cen, jnp.zeros((n_pad - n, 3))])
+        v_s = jnp.concatenate([v_s, jnp.zeros((n_pad - n,), bool)])
+    cg = cen.reshape(G, gr, 3)
+    vg = v_s.reshape(G, gr, 1)
+    # Masked coordinate-wise median: dead rows sort to +inf and a dynamic
+    # take picks the middle VALID element (a mostly-dead group must not
+    # anchor at a padding value).
+    cg_sorted = jnp.sort(jnp.where(vg, cg, jnp.inf), axis=1)
+    nv = jnp.sum(vg.astype(jnp.int32), axis=1)  # (G, 1)
+    mid = jnp.clip((nv - 1) // 2, 0, gr - 1)[:, None, :]  # (G, 1, 1)
+    med = jnp.take_along_axis(cg_sorted, jnp.broadcast_to(mid, (G, 1, 3)),
+                              axis=1)[:, 0]
+    anchor_g = jnp.where(nv > 0, med, 0.0)
+    gaabb = jnp.zeros((G, OT_COLS), jnp.float32)
+    gaabb = gaabb.at[:, 0:3].set(glo).at[:, 3:6].set(ghi)
+    gaabb = gaabb.at[:, 6:9].set(anchor_g)
+
+    anchor = jnp.repeat(anchor_g, gr, axis=0)  # (n_pad, 3) per-object
+    otab, ftab = pack_tables(scene, order, n_pad, anchor)
+
+    return Accel2(otab, ftab, gaabb, order, gr, has_motion)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gr", "has_motion", "with_ri", "with_fields",
+                              "use_mxu", "block", "with_edge"))
+def _sweep2(otab, ftab, gaabb, rays, B: int, gr: int, has_motion: bool,
+            with_ri: bool, with_fields: bool, use_mxu: bool, block: int,
+            with_edge: bool = False):
+    n_pad = otab.shape[0]
+    n_groups = n_pad // gr
+    Bp = rays.shape[1]
+    grid = (Bp // block,)
+    lane_spec = lambda rows: pl.BlockSpec(
+        (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+        jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+    ]
+    out_specs = [lane_spec(1), lane_spec(1)]
+    if with_edge:
+        out_shape.append(jax.ShapeDtypeStruct((1, Bp), jnp.int32))
+        out_specs.append(lane_spec(1))
+    if with_fields:
+        out_shape.append(jax.ShapeDtypeStruct((V_ROWS, Bp), jnp.float32))
+        out_specs.append(lane_spec(V_ROWS))
+    return pl.pallas_call(
+        _sweep2_kernel(n_pad, n_groups, gr, has_motion, with_ri, with_fields,
+                       use_mxu, with_edge),
+        grid=grid,
+        in_specs=[full(otab), full(ftab), full(gaabb), lane_spec(8)],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_interpret(),
+    )(otab, ftab, gaabb, rays)
+
+
+def sweep2_nearest(accel: Accel2, o, d, time_ratio, t_limit,
+                   use_mxu: bool = False, block: int = DEFAULT_L):
+    """(t, obj_sorted) nearest-hit sweep (occlusion-grade, no fields)."""
+    rays, B = pack_rays(o, d, time_ratio, t_limit, block)
+    t, obj = _sweep2(accel.otab, accel.ftab, accel.gaabb, rays, B, accel.gr,
+                     accel.has_motion, False, False, use_mxu, block)
+    return t[0, :B], obj[0, :B]
+
+
+def sweep2_nearest_edge(accel: Accel2, o, d, time_ratio, t_limit,
+                        use_mxu: bool = False, block: int = DEFAULT_L):
+    """(t, obj_sorted, edge_sorted): adds the near-miss silhouette candidate
+    (argmin perp/r over forward objects) for the soft-edge estimator."""
+    rays, B = pack_rays(o, d, time_ratio, t_limit, block)
+    t, obj, edge = _sweep2(
+        accel.otab, accel.ftab, accel.gaabb, rays, B, accel.gr,
+        accel.has_motion, False, False, use_mxu, block, with_edge=True)
+    return t[0, :B], obj[0, :B], edge[0, :B]
+
+
+def sweep2_full(accel: Accel2, o, d, time_ratio, t_limit, with_ri: bool,
+                use_mxu: bool = False, block: int = DEFAULT_L):
+    """(t, obj_sorted, hit_rows (V_ROWS, B)) full sweep with in-kernel
+    winner gather (+ surrounding-RI when ``with_ri``)."""
+    rays, B = pack_rays(o, d, time_ratio, t_limit, block)
+    t, obj, hit_rows = _sweep2(
+        accel.otab, accel.ftab, accel.gaabb, rays, B, accel.gr,
+        accel.has_motion, with_ri, True, use_mxu, block)
+    return t[0, :B], obj[0, :B], hit_rows[:, :B]
+
+
+# ---------------------------------------------------------------------------
+# intersect-module adapters (Hit / HitFields contract of kernels.sweep)
+# ---------------------------------------------------------------------------
+
+
+def _rows_to_hit(accel: Accel2, t, obj, rows):
+    from raytracing_tests_tpu.kernels.sweep import HitFields
+
+    hit = obj >= 0
+    t_safe = jnp.where(hit, t, 1.0)
+    normal = jnp.stack([rows[V_NX], rows[V_NY], rows[V_NZ]], axis=1)
+    flds = HitFields(
+        color=jnp.stack([rows[V_CR], rows[V_CG], rows[V_CB]], axis=1),
+        refractive_index=rows[V_MRI],
+        refractivity=rows[V_REFR],
+        reflectivity=rows[V_REFL],
+        scatter_refract=rows[V_SRFR],
+        scatter_reflect=rows[V_SRFL],
+        texture_index=rows[V_TEX].astype(jnp.int32),
+        emissive=rows[V_EMIS] > 0.5,
+    )
+    # local_pos == unit normal for isotropic spheres (p_rel / r).
+    h = Hit(t=t_safe, obj=rows[V_OBJ].astype(jnp.int32), hit=hit,
+            normal=normal, local_pos=normal)
+    return h, flds
+
+
+def intersect2_fused(accel: Accel2, scene, o, d, time_ratio, t_limit):
+    """(Hit, HitFields, surrounding_ri) — everything in one kernel."""
+    t, obj, rows = sweep2_full(accel, o, d, time_ratio, t_limit, with_ri=True)
+    h, flds = _rows_to_hit(accel, t, obj, rows)
+    return h, flds, rows[V_RI]
+
+
+def intersect2_full(accel: Accel2, scene, o, d, time_ratio, t_limit):
+    """(Hit, HitFields) without the RI probe (non-dielectric scenes)."""
+    t, obj, rows = sweep2_full(accel, o, d, time_ratio, t_limit, with_ri=False)
+    return _rows_to_hit(accel, t, obj, rows)
+
+
+def intersect2(accel: Accel2, scene, o, d, time_ratio, t_limit) -> Hit:
+    return intersect2_full(accel, scene, o, d, time_ratio, t_limit)[0]
+
+
+def occluded_nearest_obj2(accel: Accel2, scene, o, d, time_ratio, t_limit):
+    """Original-id of the nearest hit (occlusion/shadow queries)."""
+    _, obj = sweep2_nearest(accel, o, d, time_ratio, t_limit)
+    return jnp.where(obj >= 0, accel.perm[jnp.maximum(obj, 0)], -1)

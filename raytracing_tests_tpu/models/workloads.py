@@ -54,6 +54,7 @@ def _rt_run(scene_fn, defaults: dict, lights: bool = False):
             show_normals=show_normals,
             intersector=intersector or defaults.get("intersector", "brute"),
             lane_chunk=lane_chunk,
+            shading=defaults.get("shading", "bvh"),
         )
         cfg = cfg.for_scene(scene)
         lt = extract_lights(scene) if lights else None
@@ -86,9 +87,10 @@ register(
 
 register(
     "materials",
-    "full Shirley materials: dielectric + metal + lambertian with DOF",
+    "full Shirley materials: dielectric + metal + lambertian with DOF "
+    "(IOW-03 shading: per-ray medium RI, Schlick shift, fibonacci scatter)",
     reference="In-One-Weekend/03_Shadows_and_Materials",
-)(_rt_run(examples.materials_scene, dict(spp=16, max_bounces=5)))
+)(_rt_run(examples.materials_scene, dict(spp=16, max_bounces=5, shading="materials")))
 
 register(
     "motion-blur",

@@ -59,6 +59,12 @@ class RenderConfig:
     background: tuple = ((1.0, 1.0, 1.0), (0.3, 0.4, 1.0))  # bottom, top
     enable_lights: bool = True
     intersector: str = "brute"  # 'brute' | 'bvh' | 'pallas'
+    # 'bvh': the In-Next-Week family shading (surrounding-RI estimation,
+    #        deviate-cone scatter, 0.5-forward damping — 01_BVH glsl:553-592).
+    # 'materials': the IOW-03 Shirley-materials model (per-ray medium RI,
+    #        Schlick contribution shift, fibonacci-hemisphere scatter —
+    #        03_Shadows_and_Materials glsl:291-353).
+    shading: str = "bvh"
     show_normals: bool = False  # debug view (Sphere.cpp:54, groups.cpp:66)
     lane_chunk: Optional[int] = None  # bound peak memory: lanes per lax.map step
     aa_grid: bool = False  # sub-pixel supersampling grid (IOW-02 AA)
@@ -72,6 +78,16 @@ class RenderConfig:
     has_dielectrics: bool = True
     pallas_mode: str = "generic"  # 'spheres' | 'generic' (set via for_scene)
     pallas_groups: int = 32  # group size for block-level culling (0 = off)
+    pallas_v2: bool = True  # rays-on-lanes MXU kernel (kernels/sweep2.py)
+    # Gradient rendering: winner-finding via the (detached) Pallas sweep +
+    # differentiable closed-form recompute (diff/fastpath.py). Set by
+    # diff.render_loss; requires sphere mode.
+    diff_mode: bool = False
+    # Edge-aware gradients (diff_mode only): >0 turns hard visibility into a
+    # smooth coverage blend over a band of ``soft_edges * t`` world units
+    # (~2e-3 is one pixel at 450p). Training-only: biases the image by
+    # ~half-pixel silhouette blur, unbiases d(image)/d(geometry).
+    soft_edges: float = 0.0
     has_motion: bool = True  # static no-motion kernel specialization
 
     def for_scene(self, scene) -> "RenderConfig":
@@ -152,6 +168,12 @@ class RayQueue:
     direction: jnp.ndarray  # (B, Q, 3)
     contribution: jnp.ndarray  # (B, Q)
     bounced: jnp.ndarray  # (B, Q) i32
+    # Medium tracking for the IOW-03 materials model: the refractive index of
+    # the medium each queued ray travels IN, plus the medium of its parent —
+    # a depth-2 medium stack, the clean version of the reference's
+    # ``skippast_ParentsForRI`` stack-peek (03_Shadows glsl:262-264, 291-345).
+    medium: jnp.ndarray  # (B, Q)
+    parent_medium: jnp.ndarray  # (B, Q)
     size: jnp.ndarray  # (B,) i32
 
     @classmethod
@@ -161,10 +183,13 @@ class RayQueue:
             direction=jnp.zeros((batch, capacity, 3), jnp.float32),
             contribution=jnp.zeros((batch, capacity), jnp.float32),
             bounced=jnp.zeros((batch, capacity), jnp.int32),
+            medium=jnp.ones((batch, capacity), jnp.float32),
+            parent_medium=jnp.ones((batch, capacity), jnp.float32),
             size=jnp.zeros((batch,), jnp.int32),
         )
 
-    def push(self, mask, origin, direction, contribution, bounced):
+    def push(self, mask, origin, direction, contribution, bounced,
+             medium=None, parent_medium=None):
         """Vectorized conditional push at position ``size`` for lanes in
         ``mask``.  Returns ``(queue, n_dropped)`` — pushes beyond capacity are
         silently dropped exactly like the reference stack macros, but the
@@ -173,11 +198,17 @@ class RayQueue:
         can = mask & (self.size < q)
         slot = jax.nn.one_hot(self.size, q, dtype=bool) & can[:, None]  # (B, Q)
         n_dropped = jnp.sum((mask & ~can).astype(jnp.int32))
+        if medium is None:
+            medium = jnp.ones(mask.shape[0], jnp.float32)
+        if parent_medium is None:
+            parent_medium = jnp.ones(mask.shape[0], jnp.float32)
         return RayQueue(
             origin=jnp.where(slot[..., None], origin[:, None, :], self.origin),
             direction=jnp.where(slot[..., None], direction[:, None, :], self.direction),
             contribution=jnp.where(slot, contribution[:, None], self.contribution),
             bounced=jnp.where(slot, bounced[:, None], self.bounced),
+            medium=jnp.where(slot, medium[:, None], self.medium),
+            parent_medium=jnp.where(slot, parent_medium[:, None], self.parent_medium),
             size=self.size + can.astype(jnp.int32),
         ), n_dropped
 
@@ -190,8 +221,10 @@ class RayQueue:
         d = jnp.einsum("bq,bqc->bc", sel, self.direction)
         c = jnp.sum(sel * self.contribution, axis=1)
         b = jnp.sum(sel * self.bounced.astype(sel.dtype), axis=1).astype(jnp.int32)
+        med = jnp.sum(sel * self.medium, axis=1)
+        pmed = jnp.sum(sel * self.parent_medium, axis=1)
         new = dataclasses.replace(self, size=self.size - active.astype(jnp.int32))
-        return new, active, o, d, c, b
+        return new, active, o, d, c, b, med, pmed
 
 
 # ----------------------------------------------------------------------------
@@ -247,8 +280,23 @@ def _is_pallas(accel) -> bool:
     return isinstance(accel, PallasAccel)
 
 
+def _is_v2(accel) -> bool:
+    from raytracing_tests_tpu.kernels.sweep2 import Accel2
+
+    return isinstance(accel, Accel2)
+
+
+def _is_diff(accel) -> bool:
+    from raytracing_tests_tpu.diff.fastpath import DiffAccel
+
+    return isinstance(accel, DiffAccel)
+
+
 def _surrounding_ri(scene, accel, point, time_ratio):
-    if accel is None:
+    if accel is None or _is_diff(accel):
+        # Diff path: the dense containment sum is differentiable w.r.t. the
+        # member objects' refractive_index (and smoothly w.r.t. geometry away
+        # from containment boundaries).
         return isect.surrounding_refractive_index(scene, point, time_ratio)
     if _is_pallas(accel):
         from raytracing_tests_tpu.kernels.sweep import surrounding_ri_pallas
@@ -264,6 +312,14 @@ def _nearest(scene, accel, o, d, time_ratio, t_limit):
     traversal (same Hit contract)."""
     if accel is None:
         return isect.intersect_brute(scene, o, d, time_ratio, t_limit)
+    if _is_diff(accel):
+        from raytracing_tests_tpu.diff.fastpath import intersect_diff
+
+        return intersect_diff(accel, scene, o, d, time_ratio, t_limit)[0]  # hard
+    if _is_v2(accel):
+        from raytracing_tests_tpu.kernels.sweep2 import intersect2
+
+        return intersect2(accel, scene, o, d, time_ratio, t_limit)
     if _is_pallas(accel):
         from raytracing_tests_tpu.kernels.sweep import intersect_pallas
 
@@ -276,6 +332,14 @@ def _nearest(scene, accel, o, d, time_ratio, t_limit):
 def _nearest_obj(scene, accel, o, d, time_ratio, t_limit):
     if accel is None:
         return isect.occluded_nearest_obj(scene, o, d, time_ratio, t_limit)
+    if _is_diff(accel):
+        from raytracing_tests_tpu.diff.fastpath import occluded_nearest_obj_diff
+
+        return occluded_nearest_obj_diff(accel, scene, o, d, time_ratio, t_limit)
+    if _is_v2(accel):
+        from raytracing_tests_tpu.kernels.sweep2 import occluded_nearest_obj2
+
+        return occluded_nearest_obj2(accel, scene, o, d, time_ratio, t_limit)
     if _is_pallas(accel):
         from raytracing_tests_tpu.kernels.sweep import occluded_nearest_obj_pallas
 
@@ -307,16 +371,44 @@ class ShadeResult:
     refl_d: jnp.ndarray
     refl_contrib: jnp.ndarray
     bounced: jnp.ndarray  # (C,) child bounce count
+    # Medium tracking (materials shading; constant 1.0 under 'bvh').
+    refr_medium: jnp.ndarray
+    refr_parent: jnp.ndarray
+    refl_medium: jnp.ndarray
+    refl_parent: jnp.ndarray
 
 
-def shade_rays(scene, lights, cfg: RenderConfig, accel, o, d, contrib, bounced, active, sample_idx, time_ratio):
+def shade_rays(scene, lights, cfg: RenderConfig, accel, o, d, contrib, bounced, active, sample_idx, time_ratio, medium=None, parent_medium=None):
     """Intersect + shade one batch of rays (the GLSL kernel body,
-    01_BVH glsl:415-594, minus the stack plumbing)."""
+    01_BVH glsl:415-594 or 03_Shadows glsl:291-353, minus stack plumbing)."""
     spp = cfg.spp
+    if medium is None:
+        medium = jnp.ones(o.shape[0], jnp.float32)
+    if parent_medium is None:
+        parent_medium = jnp.ones(o.shape[0], jnp.float32)
     t_limit = jnp.full(o.shape[0], cfg.t_max, jnp.float32)
     sur_ri_fused = None
-    if _is_pallas(accel):
-        if cfg.has_dielectrics:
+    soft_alpha = None
+    needs_sur_ri = cfg.has_dielectrics and cfg.shading != "materials"
+    if _is_diff(accel):
+        from raytracing_tests_tpu.diff.fastpath import intersect_diff
+
+        hit, flds, soft_alpha = intersect_diff(
+            accel, scene, o, d, time_ratio, t_limit, soft=cfg.soft_edges
+        )
+    elif _is_v2(accel):
+        from raytracing_tests_tpu.kernels.sweep2 import (
+            intersect2_full, intersect2_fused,
+        )
+
+        if needs_sur_ri:
+            hit, flds, sur_ri_fused = intersect2_fused(
+                accel, scene, o, d, time_ratio, t_limit
+            )
+        else:
+            hit, flds = intersect2_full(accel, scene, o, d, time_ratio, t_limit)
+    elif _is_pallas(accel):
+        if needs_sur_ri:
             from raytracing_tests_tpu.kernels.sweep import intersect_pallas_fused
 
             hit, flds, sur_ri_fused = intersect_pallas_fused(
@@ -335,6 +427,14 @@ def shade_rays(scene, lights, cfg: RenderConfig, accel, o, d, contrib, bounced, 
     # Miss -> background contribution.
     bg = _background(cfg, d, lights is not None)
     add_color = jnp.where(missed[:, None], contrib[:, None] * bg, 0.0)
+    if soft_alpha is not None:
+        # Edge-aware blend: the lane covers its candidate with weight alpha
+        # and leaks (1 - alpha) of the background through; the whole hit
+        # subtree (local term + children) scales by alpha via ``contrib``.
+        add_color = add_color + jnp.where(
+            did_hit[:, None], (contrib * (1.0 - soft_alpha))[:, None] * bg, 0.0
+        )
+        contrib = jnp.where(did_hit, contrib * soft_alpha, contrib)
 
     # --- hit shading ---------------------------------------------------------
     hit_point = o + hit.t[:, None] * d
@@ -343,7 +443,7 @@ def shade_rays(scene, lights, cfg: RenderConfig, accel, o, d, contrib, bounced, 
 
     if sur_ri_fused is not None:
         sur_ri = sur_ri_fused
-    elif cfg.has_dielectrics:
+    elif needs_sur_ri:
         sur_ri = _surrounding_ri(scene, accel, hit_point + 1e-3 * normal, time_ratio)
     else:
         sur_ri = jnp.ones(hit_point.shape[0], jnp.float32)
@@ -378,6 +478,15 @@ def shade_rays(scene, lights, cfg: RenderConfig, accel, o, d, contrib, bounced, 
         contrib = jnp.where(did_hit, contrib * lit, contrib)
 
     bounced = bounced + 1
+
+    if cfg.shading == "materials":
+        return _shade_materials(
+            cfg, o, d, contrib, bounced, did_hit, missed, set_white, hit,
+            hit_point, normal, mat_color, mat_ri, refractivity, reflectivity,
+            scat_rfr, scat_rfl, medium, parent_medium, sample_idx, spp,
+            add_color,
+        )
+
     can_spawn = (
         ((reflectivity > 0.002) | (refractivity > 0.002))
         & (contrib > 0.01)
@@ -393,9 +502,14 @@ def shade_rays(scene, lights, cfg: RenderConfig, accel, o, d, contrib, bounced, 
         refl_outer,
     )
     refr_outer = linalg.safe_normalize(linalg.refract(d, normal, sur_ri / mat_ri))
+    # Double-where: TIR lanes carry a zero refr_outer; deviate_within_cone's
+    # internals are NaN *in gradient* at the zero vector, and 0 * NaN = NaN
+    # would leak through the outer select's backward.
+    refr_live = (linalg.dot(refr_outer, refr_outer) > 0.1)[:, None]
+    refr_safe = jnp.where(refr_live, refr_outer, jnp.asarray([0.0, 0.0, 1.0]))
     refr_outer = jnp.where(
-        (scat_rfr > 0.001)[:, None] & (linalg.dot(refr_outer, refr_outer) > 0.1)[:, None],
-        sampling.deviate_within_cone(refr_outer, sample_idx, spp, scat_rfr),
+        (scat_rfr > 0.001)[:, None] & refr_live,
+        sampling.deviate_within_cone(refr_safe, sample_idx, spp, scat_rfr),
         refr_outer,
     )
     refl_outer = jnp.where((reflectivity > 0.002)[:, None], refl_outer, 0.0)
@@ -440,6 +554,114 @@ def shade_rays(scene, lights, cfg: RenderConfig, accel, o, d, contrib, bounced, 
         refl_d=refl_dir,
         refl_contrib=refl_contrib,
         bounced=bounced,
+        refr_medium=jnp.ones_like(contrib),
+        refr_parent=jnp.ones_like(contrib),
+        refl_medium=jnp.ones_like(contrib),
+        refl_parent=jnp.ones_like(contrib),
+    )
+
+
+def _shade_materials(cfg, o, d, contrib, bounced, did_hit, missed, set_white,
+                     hit, hit_point, normal, mat_color, mat_ri, refractivity,
+                     reflectivity, scat_rfr, scat_rfl, medium, parent_medium,
+                     sample_idx, spp, add_color):
+    """The IOW-03 Shirley-materials spawn model
+    (``03_Shadows_and_Materials/computeShaderSrc.glsl:291-353``):
+
+      - per-ray MEDIUM refractive index: an inner hit refracts toward the
+        popped ray's parent medium (the reference peeks its sibling stack
+        entry via ``skippast_ParentsForRI``; carrying (medium, parent_medium)
+        per ray is the clean depth-2 equivalent — grandparent media beyond
+        depth 2 approximate to air, which is also where the reference's hack
+        degrades),
+      - Schlick reflectance shifts contribution from refraction to
+        reflection on outer hits (glsl:326-333),
+      - an outer hit ALWAYS spawns a reflection, scattered on the fibonacci
+        hemisphere (glsl:325-327); refraction scatters likewise (glsl:345),
+      - TIR converts the refraction into a contribution-1.0 reflection
+        (glsl:334-335; the reference pushes an uninitialized
+        ``reflection_dirn`` there — GLSL UB — we use the mirror direction it
+        plainly intended),
+      - the local absorption term is ``contribution^2 * albedo``: LaunchRay
+        pre-multiplies ``data.color`` by the contribution and LaunchRays
+        multiplies again (glsl:250, 304) — reproduced faithfully,
+      - no 0.5-forward damping and no contribution cutoff (zero-contribution
+        children are skipped here: they add exactly nothing).
+    """
+    cos_theta = linalg.dot(normal, d)  # > 0 <=> inner hit (glsl:315)
+    inner_m = cos_theta > 0.0
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    target = jnp.where(inner_m, parent_medium, mat_ri)
+    ratio = medium / jnp.maximum(target, 1e-6)
+    ratio_sin = ratio * sin_theta
+    tir = ratio_sin > 1.0
+
+    refr_c = refractivity
+    refl_c = reflectivity
+    # Outer: Schlick shift from refraction to reflection (glsl:326-333).
+    shift = jnp.where(
+        ~inner_m, refr_c * linalg.schlick(jnp.clip(-cos_theta, 0.0, 1.0), ratio), 0.0
+    )
+    refr_c = refr_c - shift
+    refl_c = refl_c + shift
+    # TIR: the refraction becomes a full-strength reflection (glsl:334-335).
+    refl_c = jnp.where(tir, 1.0, jnp.where(inner_m, 0.0, refl_c))
+
+    # Reference LaunchRay's grazing-reflection lift (glsl:230-247): the
+    # mirror direction is raised to a minimum elevation set by the scatter.
+    _normal = jnp.where(inner_m[:, None], -normal, normal)  # toward incident
+    refl_mirror = linalg.reflect(d, normal)
+    n2ir = linalg.normalize(linalg.cross(_normal, d), eps=1e-20)
+    n2n = linalg.normalize(linalg.cross(n2ir, _normal), eps=1e-20)
+    s = jnp.where(inner_m, scat_rfr, scat_rfl)
+    inv = 1.0 / jnp.sqrt(1.0 + s * s)
+    max_reflect = (s * inv)[:, None] * _normal + inv[:, None] * n2n
+    lift = linalg.dot(refl_mirror, _normal) <= linalg.dot(max_reflect, _normal)
+    refl_base = jnp.where((lift & ~inner_m)[:, None], max_reflect, refl_mirror)
+
+    refl_dir = sampling.fibonacci_hemisphere(sample_idx, spp, scat_rfl, refl_base)
+    refl_dir = jnp.where((tir & inner_m)[:, None], refl_base, refl_dir)
+    spawn_refl = did_hit & (bounced < cfg.max_bounces) & (~inner_m | tir)
+    spawn_refl = spawn_refl & (contrib * refl_c > 0.0)
+
+    # Refraction (glsl:336-345), symbol-for-symbol.
+    _n2 = jnp.where(inner_m[:, None], normal, -normal)  # glsl's _normal
+    y_cap = _n2 * cos_theta[:, None]
+    x_cap = d - y_cap
+    refr_raw = (
+        ratio_sin[:, None] * _n2
+        + jnp.sqrt(jnp.maximum(1.0 - ratio_sin * ratio_sin, 0.0))[:, None] * x_cap
+    )
+    refr_base = linalg.normalize(refr_raw, eps=1e-20)
+    refr_dir = sampling.fibonacci_hemisphere(sample_idx, spp, scat_rfr, refr_base)
+    spawn_refr = did_hit & (bounced < cfg.max_bounces) & ~tir
+    spawn_refr = spawn_refr & (contrib * refr_c > 0.0)
+
+    # Local term: contribution^2 * albedo (glsl:250 + :304).
+    add_color = add_color + jnp.where(
+        did_hit[:, None], (contrib * contrib)[:, None] * mat_color, 0.0
+    )
+
+    return ShadeResult(
+        add_color=add_color,
+        set_white=set_white,
+        hit_t=jnp.where(hit.hit, hit.t, cfg.t_max),
+        did_hit=did_hit,
+        missed=missed,
+        refr_mask=spawn_refr,
+        refr_o=hit_point + 1e-4 * _n2,  # glsl:349-350 (+eps along _normal)
+        refr_d=refr_dir,
+        refr_contrib=contrib * refr_c,
+        refl_mask=spawn_refl,
+        refl_o=hit_point - 1e-4 * _n2,
+        refl_d=refl_dir,
+        refl_contrib=contrib * refl_c,
+        bounced=bounced,
+        refr_medium=target,
+        # Exiting beyond the tracked depth approximates grandparent = air.
+        refr_parent=jnp.where(inner_m, jnp.ones_like(medium), medium),
+        refl_medium=medium,
+        refl_parent=parent_medium,
     )
 
 
@@ -447,16 +669,28 @@ def _process_pop(scene, lights, cfg: RenderConfig, queue, state, sample_idx, spp
     """One queue step: pop LIFO top of every lane, shade, push children.
     Returns ``(queue, state, n_dropped)``."""
     color, depth, done, primary_t = state
-    queue, active, o, d, contrib, bounced = queue.pop()
+    queue, active, o, d, contrib, bounced, medium, parent_medium = queue.pop()
     active = active & ~done
     is_primary = active & (bounced == 0)
 
     r = shade_rays(
-        scene, lights, cfg, accel, o, d, contrib, bounced, active, sample_idx, time_ratio
+        scene, lights, cfg, accel, o, d, contrib, bounced, active, sample_idx,
+        time_ratio, medium, parent_medium,
     )
-    # Push refraction then reflection (reference order; LIFO pops reflect first).
-    queue, d1 = queue.push(r.refr_mask, r.refr_o, r.refr_d, r.refr_contrib, r.bounced)
-    queue, d2 = queue.push(r.refl_mask, r.refl_o, r.refl_d, r.refl_contrib, r.bounced)
+    if cfg.shading == "materials":
+        # Reference pushes reflected THEN refracted (03_Shadows glsl:347-352);
+        # LIFO pops the refraction first.
+        queue, d1 = queue.push(r.refl_mask, r.refl_o, r.refl_d, r.refl_contrib,
+                               r.bounced, r.refl_medium, r.refl_parent)
+        queue, d2 = queue.push(r.refr_mask, r.refr_o, r.refr_d, r.refr_contrib,
+                               r.bounced, r.refr_medium, r.refr_parent)
+    else:
+        # Push refraction then reflection (reference order; LIFO pops reflect
+        # first, 01_BVH glsl:553-592).
+        queue, d1 = queue.push(r.refr_mask, r.refr_o, r.refr_d, r.refr_contrib,
+                               r.bounced)
+        queue, d2 = queue.push(r.refl_mask, r.refl_o, r.refl_d, r.refl_contrib,
+                               r.bounced)
 
     color = color + r.add_color
     color = jnp.where(r.set_white[:, None], jnp.ones_like(color), color)
@@ -478,6 +712,14 @@ def _build_accel(scene, cfg: RenderConfig):
 
         return build_lbvh(scene)
     if cfg.intersector == "pallas":
+        if cfg.diff_mode and cfg.pallas_mode == "spheres":
+            from raytracing_tests_tpu.diff.fastpath import make_diff_accel
+
+            return make_diff_accel(scene, has_motion=cfg.has_motion)
+        if cfg.pallas_v2 and cfg.pallas_mode == "spheres":
+            from raytracing_tests_tpu.kernels.sweep2 import make_accel2
+
+            return make_accel2(scene, has_motion=cfg.has_motion)
         from raytracing_tests_tpu.kernels.sweep import make_accel
 
         return make_accel(

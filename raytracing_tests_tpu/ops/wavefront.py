@@ -163,6 +163,10 @@ def render_wavefront(
     pool_capacity: Optional[int] = None,
 ):
     """Full render; returns dict(image, depth, rays) like ``render_stats``."""
+    assert cfg.shading == "bvh", (
+        "wavefront pool records carry no medium stack; materials shading "
+        "runs on the queue renderer (render_stats)"
+    )
     H, W, S = cfg.height, cfg.width, cfg.spp
     B = H * W * S
     accel = _build_accel(scene, cfg)

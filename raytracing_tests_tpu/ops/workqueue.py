@@ -184,6 +184,10 @@ def render_workqueue(
     # eager 36M-row permutation gather costs seconds at high spp — opt-in
 ):
     """Full render; dict(image, depth, rays) like ``render_stats``."""
+    assert cfg.shading == "bvh", (
+        "workqueue pool records carry no medium stack; materials shading "
+        "runs on the queue renderer (render_stats)"
+    )
     H, W, S = cfg.height, cfg.width, cfg.spp
     B = H * W * S
     accel = _build_accel(scene, cfg)

@@ -276,6 +276,117 @@ def _trace_sample(view, cfg, o, d, sample_idx, spp, has_lights):
     return color, primary_t
 
 
+def _fibonacci_hemisphere(i, n, scatteritivity, focus_dirn):
+    """``fibonacciHemiSpherePtDirn`` (03_Shadows glsl:164-184)."""
+    y = 1.0 - i / float(max(n - 1, 1))
+    radius = np.sqrt(max(1.0 - y * y, 0.0))
+    theta = GOLDEN_ANGLE * i
+    x = np.cos(theta) * radius
+    z = np.sin(theta) * radius
+    s = scatteritivity
+    x, y, z = x * s, y * s, z * s
+    y_cap = focus_dirn
+    z_cap = _normalize(np.cross(np.array([0.0, 1.0, 0.0]), y_cap))
+    x_cap = _normalize(np.cross(y_cap, z_cap))
+    return _normalize(focus_dirn + x * x_cap + y * y_cap + z * z_cap)
+
+
+def _schlick(cosine, ratio):
+    r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
+    return r0 + (1.0 - r0) * (1.0 - cosine) ** 5
+
+
+def _trace_sample_materials(view, cfg, o, d, sample_idx, spp):
+    """IOW-03 materials model (03_Shadows_and_Materials glsl:285-357):
+    per-ray medium RI (depth-2 medium stack), Schlick contribution shift,
+    always-spawned scattered reflection on outer hits, fibonacci-hemisphere
+    scatter, TIR -> contribution-1.0 reflection, contribution^2 local term."""
+    ratio_t = sample_idx / spp
+    stack = [(o, d, 1.0, 1.0, 1.0, 0)]  # o, d, contrib, medium, parent, bounced
+    color = np.zeros(3)
+    primary_t = cfg.t_max
+    pops = 0
+    while stack and pops < cfg.pops:
+        pops += 1
+        o, d, contrib, medium, parent, bounced = stack.pop()
+        t, j, normal, local_unit = _intersect(view, o, d, ratio_t, cfg.t_max)
+        if bounced == 0:
+            primary_t = t if j >= 0 else cfg.t_max
+        if j < 0:
+            tt = (d[1] + 1.0) * 0.5
+            bg = (1 - tt) * np.array(cfg.background[0]) + tt * np.array(cfg.background[1])
+            color += contrib * bg
+            continue
+
+        hit_point = o + t * d
+        mat_color = view.color[j] * _texture_color(view, j, local_unit)
+        color += contrib * contrib * mat_color  # glsl:250 + :304
+
+        bounced += 1
+        if bounced >= cfg.max_bounces:
+            continue
+
+        cos_theta = np.dot(normal, d)  # > 0: inner hit
+        inner = cos_theta > 0
+        sin_theta = np.sqrt(max(1.0 - cos_theta * cos_theta, 0.0))
+        target = parent if inner else view.refractive_index[j]
+        ratio = medium / max(target, 1e-6)
+        ratio_sin = ratio * sin_theta
+        refr_c = view.refractivity[j]
+        refl_c = view.reflectivity[j]
+
+        # LaunchRay's grazing-reflection lift (glsl:230-247).
+        _n_inc = -normal if inner else normal  # toward incident side
+        refl_mirror = _reflect(d, normal)
+        if not inner:
+            n2ir = _normalize(np.cross(_n_inc, d))
+            n2n = _normalize(np.cross(n2ir, _n_inc))
+            s = view.scatter_reflect[j]
+            inv = 1.0 / np.sqrt(1.0 + s * s)
+            max_reflect = s * inv * _n_inc + inv * n2n
+            if np.dot(refl_mirror, _n_inc) <= np.dot(max_reflect, _n_inc):
+                refl_mirror = max_reflect
+
+        spawn_refl = False
+        refl_dir = refl_mirror
+        if not inner:
+            shift = refr_c * _schlick(max(-cos_theta, 0.0), ratio)
+            refr_c -= shift
+            refl_c += shift
+            refl_dir = _fibonacci_hemisphere(
+                sample_idx, spp, view.scatter_reflect[j], refl_mirror
+            )
+            spawn_refl = True
+        elif ratio_sin > 1.0:  # inner TIR
+            refl_c = 1.0
+            spawn_refl = True
+        else:
+            refl_c = 0.0
+
+        _n2 = normal if inner else -normal  # glsl's _normal (transmission side)
+        spawn_refr = ratio_sin <= 1.0
+        refr_dir = np.zeros(3)
+        if spawn_refr:
+            y_cap = _n2 * cos_theta
+            x_cap = d - y_cap
+            raw = ratio_sin * _n2 + np.sqrt(max(1.0 - ratio_sin**2, 0.0)) * x_cap
+            refr_dir = _fibonacci_hemisphere(
+                sample_idx, spp, view.scatter_refract[j], _normalize(raw)
+            )
+
+        # Reference push order: reflected then refracted (glsl:347-352).
+        if spawn_refl and contrib * refl_c > 0.0:
+            stack.append((hit_point - 1e-4 * _n2, refl_dir, contrib * refl_c,
+                          medium, parent, bounced))
+        if spawn_refr and contrib * refr_c > 0.0:
+            new_parent = 1.0 if inner else medium
+            stack.append((hit_point + 1e-4 * _n2, refr_dir, contrib * refr_c,
+                          target, new_parent, bounced))
+        if len(stack) > cfg.queue_capacity:
+            stack = stack[: cfg.queue_capacity]  # stack_push drop (glsl:267)
+    return color, primary_t
+
+
 def render_cpu(scene: Scene, camera: Camera, cfg: RenderConfig):
     """Oracle render. Returns dict(image=(H, W, 3), depth=(H, W)) numpy."""
     view = _SceneView(scene)
@@ -316,7 +427,10 @@ def render_cpu(scene: Scene, camera: Camera, cfg: RenderConfig):
                     if s == S // 2:
                         depth[py, px] = t if j >= 0 else cfg.t_max
                 else:
-                    col, pt = _trace_sample(view, cfg, o, d, s, S, has_lights)
+                    if cfg.shading == "materials":
+                        col, pt = _trace_sample_materials(view, cfg, o, d, s, S)
+                    else:
+                        col, pt = _trace_sample(view, cfg, o, d, s, S, has_lights)
                     acc += np.sqrt(np.maximum(col, 0.0))
                     if s == S // 2:
                         depth[py, px] = pt

