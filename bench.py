@@ -11,7 +11,11 @@ Prints exactly one JSON line:
 Env knobs:
   BENCH_SMOKE=1     tiny config for CI/CPU smoke runs
   BENCH_CHUNK=N     lanes per lax.map step (peak-memory bound)
-  BENCH_SPP=N       override samples per pixel
+  BENCH_SPP=N       override samples per pixel (headline config)
+  BENCH_RENDERER    queue (default) | mega | workqueue | wavefront
+  BENCH_ALL=1       also time the other four BASELINE.json configs
+                    (motion / bvh1k / texturing / lights) into
+                    bench_details.json
 """
 
 import json
@@ -21,10 +25,75 @@ import time
 import jax
 import numpy as np
 
-from raytracing_tests_tpu.ops.render import RenderConfig, render_stats
+from raytracing_tests_tpu.ops.render import RenderConfig, render_stats, extract_lights
 from raytracing_tests_tpu.scene import examples
 
 BASELINE_MRAYS_PER_CHIP = 62.5  # 1 Grays/s / 16 chips (BASELINE.md)
+
+
+def _make_fn(renderer, cfg, chunk):
+    if renderer == "megalanes":
+        from raytracing_tests_tpu.ops.megalanes import render_megalanes
+
+        return lambda s, c, lt: render_megalanes(
+            s, c, cfg, chunk=chunk, gr=128, schedule="natural")
+    if renderer == "mega":
+        from raytracing_tests_tpu.ops.megaqueue import render_mega
+
+        return lambda s, c, lt: render_mega(s, c, cfg, chunk=chunk)
+    if renderer == "workqueue":
+        from raytracing_tests_tpu.ops.workqueue import render_workqueue
+
+        return lambda s, c, lt: render_workqueue(s, c, cfg, chunk=chunk)
+    if renderer == "wavefront":
+        from raytracing_tests_tpu.ops.wavefront import render_wavefront
+
+        return lambda s, c, lt: render_wavefront(s, c, cfg, chunk=chunk)
+    return jax.jit(lambda s, c, lt: render_stats(s, c, cfg, lt))
+
+
+def time_config(scene, camera, cfg, renderer, chunk, lights=None, n_iters=3):
+    """Compile + warm, then time ``n_iters`` frames; returns a detail dict."""
+    scene = jax.device_put(scene)
+    camera = jax.device_put(camera)
+    fn = _make_fn(renderer, cfg, chunk)
+    out = fn(scene, camera, lights)
+    jax.block_until_ready(out["image"])
+    rays = int(out["rays"])
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(scene, camera, lights)
+        jax.block_until_ready(out["image"])
+    dt = (time.perf_counter() - t0) / n_iters
+    return {
+        "mrays_per_s": round(rays / dt / 1e6, 2),
+        "rays_per_frame": rays,
+        "seconds_per_frame": dt,
+        "rays_dropped": int(out.get("rays_dropped", 0)),
+        "renderer": renderer,
+        "intersector": cfg.intersector,
+        "size": f"{cfg.width}x{cfg.height}x{cfg.spp}spp d{cfg.max_bounces}",
+        "mean_image": float(np.asarray(out["image"]).mean()),
+    }
+
+
+def side_configs(chunk):
+    """The other four BASELINE.json benchmark configs (16 spp keeps the
+    whole sweep to a few frames each; the headline stays 100 spp)."""
+    mk = lambda scene, **kw: RenderConfig(
+        width=800, height=450, spp=16, max_bounces=8, lane_chunk=chunk,
+        intersector="pallas", **kw,
+    ).for_scene(scene)
+    out = {}
+    s, c = examples.motion_blur_scene()
+    out["motion"] = (s, c, mk(s), None)
+    s, c = examples.bvh_grid_scene(side=32)  # 1,025 objects, generic mode
+    out["bvh1k"] = (s, c, mk(s), None)
+    s, c = examples.texturing_scene()
+    out["texturing"] = (s, c, mk(s), None)
+    s, c = examples.lights_scene()
+    out["lights"] = (s, c, mk(s), extract_lights(s))
+    return out
 
 
 def main():
@@ -46,65 +115,36 @@ def main():
         lane_chunk=chunk,
         intersector=os.environ.get("BENCH_INTERSECTOR", "pallas"),
     ).for_scene(scene)
-    renderer = os.environ.get("BENCH_RENDERER", "queue")
+    renderer = os.environ.get("BENCH_RENDERER", "megalanes")
 
-    scene = jax.device_put(scene)
-    camera = jax.device_put(camera)
-    if renderer == "mega":
-        from raytracing_tests_tpu.ops.megaqueue import render_mega
-
-        fn = lambda s, c: render_mega(s, c, cfg, chunk=chunk)
-    elif renderer == "workqueue":
-        from raytracing_tests_tpu.ops.workqueue import render_workqueue
-
-        fn = lambda s, c: render_workqueue(s, c, cfg, chunk=chunk)
-    elif renderer == "wavefront":
-        from raytracing_tests_tpu.ops.wavefront import render_wavefront
-
-        fn = lambda s, c: render_wavefront(s, c, cfg, chunk=chunk)
-    else:
-        fn = jax.jit(lambda s, c: render_stats(s, c, cfg))
-
-    # Compile + warm up.
-    out = fn(scene, camera)
-    jax.block_until_ready(out["image"])
-    rays = int(out["rays"])
-
-    n_iters = 1 if smoke else 3
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(scene, camera)
-        jax.block_until_ready(out["image"])
-    dt = (time.perf_counter() - t0) / n_iters
-
-    mrays = rays / dt / 1e6
+    head = time_config(scene, camera, cfg, renderer, chunk,
+                       n_iters=1 if smoke else 3)
+    mrays = head["mrays_per_s"]
     print(
         json.dumps(
             {
                 "metric": f"Mrays/s/chip {'smoke' if smoke else 'iow-final'} {width}x{height}x{spp}spp d{cfg.max_bounces}",
-                "value": round(mrays, 2),
+                "value": mrays,
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / BASELINE_MRAYS_PER_CHIP, 3),
             }
         )
     )
-    # Diagnostics on stderr-adjacent lines are not allowed (one JSON line);
-    # stash extras in a side file for the curious.
+    details = {
+        "device": str(jax.devices()[0]),
+        "platform": jax.devices()[0].platform,
+        "lane_chunk": chunk,
+        "configs": {"iow-final": head},
+    }
+    if os.environ.get("BENCH_ALL") == "1" and not smoke:
+        for name, (s, c, scfg, lights) in side_configs(chunk).items():
+            try:
+                details["configs"][name] = time_config(
+                    s, c, scfg, "queue", chunk, lights=lights, n_iters=2)
+            except Exception as e:  # record, keep the sweep going
+                details["configs"][name] = {"error": f"{type(e).__name__}: {e}"}
     with open("bench_details.json", "w") as f:
-        json.dump(
-            {
-                "rays_per_frame": rays,
-                "seconds_per_frame": dt,
-                "device": str(jax.devices()[0]),
-                "platform": jax.devices()[0].platform,
-                "lane_chunk": chunk,
-                "renderer": renderer,
-                "intersector": cfg.intersector,
-                "mean_image": float(np.asarray(out["image"]).mean()),
-            },
-            f,
-            indent=2,
-        )
+        json.dump(details, f, indent=2)
 
 
 if __name__ == "__main__":

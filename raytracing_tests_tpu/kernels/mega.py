@@ -81,12 +81,11 @@ def _deviate(dx, dy, dz, sidx, spp: int, tan_theta):
 def _mega_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
                  has_dielectrics: bool, spp: int, max_bounces: int,
                  t_max: float, bg_bottom, bg_top, use_mxu: bool):
-    def kernel(otab_ref, ftab_ref, gaabb_ref, pool_ref, lane_ref,
-               misc_out, refr_out, refl_out, rlane_out, llane_out,
+    def kernel(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref, pool_ref,
+               lane_ref, misc_out, refr_out, refl_out, rlane_out, llane_out,
                t_sc, obj_sc):
         rows16 = pool_ref[:]
         ox, oy, oz = rows16[0:1], rows16[1:2], rows16[2:3]
-        dvec = rows16[3:6]
         dx, dy, dz = rows16[3:4], rows16[4:5], rows16[5:6]
         omt = rows16[6:7]
         tlim = rows16[7:8]
@@ -98,14 +97,14 @@ def _mega_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
         live = (a > 0.5) & active
         L = ox.shape[1]
 
-        _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, dvec, omt,
+        _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt,
                     live, tlim, t_sc, obj_sc, None, None, n_groups=n_groups,
                     gr=gr, has_motion=has_motion, use_mxu=use_mxu,
                     with_edge=False)
         t_best = t_sc[:]
         obj_best = obj_sc[:]
         hit = (obj_best >= 0) & active
-        rows = _gather_rows(ftab_ref, obj_best, n_pad, L)
+        rows = _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best, n_pad, L)
         t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine(
             rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
 
@@ -122,27 +121,30 @@ def _mega_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
         add_g = miss_c * bgg
         add_b = miss_c * bgb
 
-        if has_dielectrics:
-            sur_ri = _ri_probe(
-                otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
-                pz + 1e-3 * nz, omt, n_groups=n_groups, gr=gr,
-                has_motion=has_motion, use_mxu=use_mxu)
-        else:
-            sur_ri = jnp.ones((1, L), jnp.float32)
-
         mat_ri = rows[FT_MRI : FT_MRI + 1]
         refrv = rows[FT_REFR : FT_REFR + 1]
         reflv = rows[FT_REFL : FT_REFL + 1]
         srfr = rows[FT_SRFR : FT_SRFR + 1]
         srfl = rows[FT_SRFL : FT_SRFL + 1]
 
+        ndotd = nx * dx + ny * dy + nz * dz
+        inner = ndotd > 0.0
+
+        if has_dielectrics:
+            # Only dielectric winners / interior hits consume sur_ri; skipped
+            # lanes read the neutral 1.0.
+            need = did_hit & (inner | (refrv > 0.002))
+            sur_ri = _ri_probe(
+                otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
+                pz + 1e-3 * nz, omt, n_groups=n_groups, gr=gr,
+                has_motion=has_motion, use_mxu=use_mxu, need=need)
+        else:
+            sur_ri = jnp.ones((1, L), jnp.float32)
+
         sidx = (lane - (lane // spp) * spp).astype(jnp.float32)
         bounced1 = bounced + 1.0
         can_spawn = (((reflv > 0.002) | (refrv > 0.002)) & (contrib > 0.01)
                      & (bounced1 < float(max_bounces)) & did_hit)
-
-        ndotd = nx * dx + ny * dy + nz * dz
-        inner = ndotd > 0.0
 
         # Outer reflection: mirror + cone deviation (01_BVH glsl:556-566).
         rlx = dx - 2.0 * ndotd * nx
@@ -242,7 +244,7 @@ def _mega_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
     jax.jit,
     static_argnames=("gr", "has_motion", "has_dielectrics", "spp",
                      "max_bounces", "t_max", "bg", "block", "use_mxu"))
-def mega_step(otab, ftab, gaabb, pool, lane, gr: int, has_motion: bool,
+def mega_step(otab, ftab3, gaabb, pool, lane, gr: int, has_motion: bool,
               has_dielectrics: bool, spp: int, max_bounces: int,
               t_max: float, bg, block: int = DEFAULT_L,
               use_mxu: bool = False):
@@ -253,6 +255,7 @@ def mega_step(otab, ftab, gaabb, pool, lane, gr: int, has_motion: bool,
     """
     n_pad = otab.shape[0]
     n_groups = n_pad // gr
+    fhi, fmid, flo = ftab3
     C = pool.shape[1]
     grid = (C // block,)
     lane2 = lane.reshape(1, C)
@@ -264,8 +267,8 @@ def mega_step(otab, ftab, gaabb, pool, lane, gr: int, has_motion: bool,
         _mega_kernel(n_pad, n_groups, gr, has_motion, has_dielectrics, spp,
                      max_bounces, t_max, bg[0], bg[1], use_mxu),
         grid=grid,
-        in_specs=[full(otab), full(ftab), full(gaabb), lane_spec(POOL_ROWS),
-                  lane_spec(1)],
+        in_specs=[full(otab), full(fhi), full(fmid), full(flo),
+                  full(gaabb), lane_spec(POOL_ROWS), lane_spec(1)],
         out_specs=(lane_spec(8), lane_spec(POOL_ROWS), lane_spec(POOL_ROWS),
                    lane_spec(1), lane_spec(1)),
         out_shape=(
@@ -280,5 +283,5 @@ def mega_step(otab, ftab, gaabb, pool, lane, gr: int, has_motion: bool,
             pltpu.VMEM((1, block), jnp.int32),
         ],
         interpret=_interpret(),
-    )(otab, ftab, gaabb, pool, lane2)
+    )(otab, fhi, fmid, flo, gaabb, pool, lane2)
     return misc, refr, refl, rlane[0], llane[0]

@@ -311,8 +311,8 @@ def _nearest_ri_kernel(n_obj: int):
 
 
 def _grouped_nearest_ri_kernel(n_obj: int, n_groups: int, group: int, with_ri: bool,
-                               has_motion: bool = True):
-    """Two-level sphere sweep: Morton-ordered object GROUPS with precomputed
+                               has_motion: bool = True, mode: str = "spheres"):
+    """Two-level sweep: Morton-ordered object GROUPS with precomputed
     AABBs; a whole lane block skips a group when no lane's ray enters its
     AABB (``@pl.when`` on a block-wide any()).
 
@@ -321,7 +321,13 @@ def _grouped_nearest_ri_kernel(n_obj: int, n_groups: int, group: int, with_ri: b
     so block-granular culling recovers most of the benefit — sky blocks test
     16 AABBs instead of 512 spheres.  Mirrors the role of the reference's
     node-level ``TestIntersectAABB`` (01_BVH glsl:187-210) at block scope.
+
+    ``mode='generic'`` runs the full rotated cuboid/ellipsoid test
+    (``_generic_t``, the flagship traversal's ``IntersectRay`` — 01_BVH
+    glsl:434-475 serving all geometry) per surviving group; fused RI is
+    sphere-only (generic dielectric scenes take the separate RI sweep).
     """
+    assert mode == "spheres" or not with_ri
 
     def kernel(table_ref, gaabb_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                dz_ref, tr_ref, tlim_ref, t_out, obj_out, ri_out,
@@ -365,6 +371,12 @@ def _grouped_nearest_ri_kernel(n_obj: int, n_groups: int, group: int, with_ri: b
             def _():
                 def obj_body(j, _):
                     i = g * group + j
+                    if mode != "spheres":
+                        t = _generic_t(table, i, ox, oy, oz, dx, dy, dz, omt)
+                        better = t < t_sc[:]
+                        t_sc[:] = jnp.where(better, t, t_sc[:])
+                        obj_sc[:] = jnp.where(better, i, obj_sc[:])
+                        return 0
                     if has_motion:
                         cx = table[S_CX, i] - omt * table[S_DPX, i]
                         cy = table[S_CY, i] - omt * table[S_DPY, i]
@@ -556,8 +568,9 @@ def sweep_nearest_ri(table, o, d, time_ratio, t_limit, rb: int = DEFAULT_RB):
 
 
 def sweep_grouped(table, gaabb, o, d, time_ratio, t_limit, group: int,
-                  with_ri: bool, rb: int = DEFAULT_RB, has_motion: bool = True):
-    """Grouped two-level sphere sweep -> (t, obj_sorted, ri)."""
+                  with_ri: bool, rb: int = DEFAULT_RB, has_motion: bool = True,
+                  mode: str = "spheres"):
+    """Grouped two-level sweep -> (t, obj_sorted, ri)."""
     n_obj = table.shape[1]
     n_groups = gaabb.shape[1]
     assert n_groups * group == n_obj, (n_groups, group, n_obj)
@@ -571,7 +584,8 @@ def sweep_grouped(table, gaabb, o, d, time_ratio, t_limit, group: int,
     scratch.insert(1, pltpu.VMEM((rb, LANE), jnp.int32))  # t, obj, bcx..
     scratch += [pltpu.VMEM((rb, LANE), jnp.float32) for _ in range(4)]
     t, obj, ri = pl.pallas_call(
-        _grouped_nearest_ri_kernel(n_obj, n_groups, group, with_ri, has_motion),
+        _grouped_nearest_ri_kernel(n_obj, n_groups, group, with_ri, has_motion,
+                                   mode),
         grid=(R // rb,),
         in_specs=[smem(table), smem(gaabb)] + [lane_spec] * 8,
         out_specs=(lane_spec, lane_spec, lane_spec),
@@ -589,11 +603,12 @@ def sweep_grouped(table, gaabb, o, d, time_ratio, t_limit, group: int,
 def _sweep_dispatch(accel, o, d, time_ratio, t_limit, with_ri: bool):
     """(t, obj_sorted_or_plain, ri_or_None) across kernel variants."""
     if accel.group and accel.gaabb is not None:
+        fused_ri = with_ri and accel.mode == "spheres"
         t, obj, ri = sweep_grouped(
             accel.table, accel.gaabb, o, d, time_ratio, t_limit, accel.group,
-            with_ri, has_motion=accel.has_motion,
+            fused_ri, has_motion=accel.has_motion, mode=accel.mode,
         )
-        return t, obj, (ri if with_ri else None)
+        return t, obj, (ri if fused_ri else None)
     if with_ri and accel.mode == "spheres":
         t, obj, ri = sweep_nearest_ri(accel.table, o, d, time_ratio, t_limit)
         return t, obj, ri
@@ -751,7 +766,7 @@ def scene_has_motion(scene: Scene) -> bool:
 def make_accel(scene: Scene, mode: Optional[str] = None, group: int = 0,
                has_motion: bool = True) -> PallasAccel:
     mode = mode or scene_mode(scene)
-    if group <= 0 or mode != "spheres":
+    if group <= 0:
         return PallasAccel(
             pack_scene_table(scene, mode), mode, pack_hit_matrix(scene, mode)
         )
@@ -781,8 +796,8 @@ def make_accel(scene: Scene, mode: Optional[str] = None, group: int = 0,
     perm_scene = scene.replace(
         **{f: getattr(scene, f)[order] for f in SCENE_PERM_FIELDS}
     )
-    table = pack_scene_table(perm_scene, "spheres")
-    hm = pack_hit_matrix(perm_scene, "spheres")
+    table = pack_scene_table(perm_scene, mode)
+    hm = pack_hit_matrix(perm_scene, mode)
     hm = hm.at[:, H_OBJ].set(order.astype(jnp.float32))
 
     n = scene.capacity
@@ -805,7 +820,7 @@ def make_accel(scene: Scene, mode: Optional[str] = None, group: int = 0,
     ghi = jnp.max(hi_s.reshape(-1, group, 3), axis=1)
     gaabb = jnp.concatenate([glo.T, ghi.T], axis=0)  # (6, G)
 
-    return PallasAccel(table, "spheres", hm, gaabb, order, group, has_motion)
+    return PallasAccel(table, mode, hm, gaabb, order, group, has_motion)
 
 
 def intersect_pallas_full(accel: PallasAccel, scene: Scene, o, d, time_ratio, t_limit):

