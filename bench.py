@@ -12,7 +12,8 @@ Env knobs:
   BENCH_SMOKE=1     tiny config for CI/CPU smoke runs
   BENCH_CHUNK=N     lanes per lax.map step (peak-memory bound)
   BENCH_SPP=N       override samples per pixel (headline config)
-  BENCH_RENDERER    queue (default) | mega | workqueue | wavefront
+  BENCH_RENDERER    uber (default) | megalanes | queue | mega |
+                    workqueue | wavefront
   BENCH_ALL=1       also time the other four BASELINE.json configs
                     (motion / bvh1k / texturing / lights) into
                     bench_details.json
@@ -32,6 +33,10 @@ BASELINE_MRAYS_PER_CHIP = 62.5  # 1 Grays/s / 16 chips (BASELINE.md)
 
 
 def _make_fn(renderer, cfg, chunk):
+    if renderer == "uber":
+        from raytracing_tests_tpu.kernels.uber import render_uber
+
+        return lambda s, c, lt: render_uber(s, c, cfg, L=2048, R=96, gr=64)
     if renderer == "megalanes":
         from raytracing_tests_tpu.ops.megalanes import render_megalanes
 
@@ -115,7 +120,7 @@ def main():
         lane_chunk=chunk,
         intersector=os.environ.get("BENCH_INTERSECTOR", "pallas"),
     ).for_scene(scene)
-    renderer = os.environ.get("BENCH_RENDERER", "megalanes")
+    renderer = os.environ.get("BENCH_RENDERER", "uber")
 
     head = time_config(scene, camera, cfg, renderer, chunk,
                        n_iters=1 if smoke else 3)

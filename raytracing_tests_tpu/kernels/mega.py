@@ -78,6 +78,159 @@ def _deviate(dx, dy, dz, sidx, spp: int, tan_theta):
     return vx * inv, vy * inv, vz * inv
 
 
+def trace_shade_block(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
+                      ox, oy, oz, dx, dy, dz, omt, tlim, contrib, bounced,
+                      active, sidx, t_sc, obj_sc, *, n_pad, n_groups, gr,
+                      has_motion, has_dielectrics, spp, max_bounces, t_max,
+                      bg_bottom, bg_top, use_mxu):
+    """Sweep + gather + refine + surrounding-RI + INW shading + child-ray
+    construction for one lane block — the whole per-ray pipeline on (1, L)
+    planes.  Shared by the chunked megakernel and the persistent kernel.
+
+    Returns (add_r, add_g, add_b, hit_t, refr16, refl16, spawn_refr,
+    spawn_refl); children are (16, L) pool-layout records, gated by the
+    spawn masks."""
+    L = ox.shape[1]
+    a = dx * dx + dy * dy + dz * dz
+    live = (a > 0.5) & active
+
+    _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt,
+                live, tlim, t_sc, obj_sc, None, None, n_groups=n_groups,
+                gr=gr, has_motion=has_motion, use_mxu=use_mxu,
+                with_edge=False)
+    t_best = t_sc[:]
+    obj_best = obj_sc[:]
+    hit = (obj_best >= 0) & active
+    rows = _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best, n_pad, L)
+    t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine(
+        rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
+
+    did_hit = hit
+    missed = active & ~hit
+
+    # Background gradient (01_BVH glsl:521-540).
+    tt = (dy + 1.0) * 0.5
+    bgr = (1.0 - tt) * bg_bottom[0] + tt * bg_top[0]
+    bgg = (1.0 - tt) * bg_bottom[1] + tt * bg_top[1]
+    bgb = (1.0 - tt) * bg_bottom[2] + tt * bg_top[2]
+    miss_c = jnp.where(missed, contrib, 0.0)
+    add_r = miss_c * bgr
+    add_g = miss_c * bgg
+    add_b = miss_c * bgb
+
+    mat_ri = rows[FT_MRI : FT_MRI + 1]
+    refrv = rows[FT_REFR : FT_REFR + 1]
+    reflv = rows[FT_REFL : FT_REFL + 1]
+    srfr = rows[FT_SRFR : FT_SRFR + 1]
+    srfl = rows[FT_SRFL : FT_SRFL + 1]
+
+    ndotd = nx * dx + ny * dy + nz * dz
+    inner = ndotd > 0.0
+
+    if has_dielectrics:
+        # Only dielectric winners / interior hits consume sur_ri; skipped
+        # lanes read the neutral 1.0.
+        need = did_hit & (inner | (refrv > 0.002))
+        sur_ri = _ri_probe(
+            otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
+            pz + 1e-3 * nz, omt, n_groups=n_groups, gr=gr,
+            has_motion=has_motion, use_mxu=use_mxu, need=need)
+    else:
+        sur_ri = jnp.ones((1, L), jnp.float32)
+
+    bounced1 = bounced + 1.0
+    can_spawn = (((reflv > 0.002) | (refrv > 0.002)) & (contrib > 0.01)
+                 & (bounced1 < float(max_bounces)) & did_hit)
+
+    # Outer reflection: mirror + cone deviation (01_BVH glsl:556-566).
+    rlx = dx - 2.0 * ndotd * nx
+    rly = dy - 2.0 * ndotd * ny
+    rlz = dz - 2.0 * ndotd * nz
+    rinv = jax.lax.rsqrt(jnp.maximum(rlx * rlx + rly * rly + rlz * rlz,
+                                     1e-38))
+    rlx, rly, rlz = rlx * rinv, rly * rinv, rlz * rinv
+    dvx, dvy, dvz = _deviate(rlx, rly, rlz, sidx, spp, srfl)
+    use_dev = srfl > 0.001
+    rlx = jnp.where(use_dev, dvx, rlx)
+    rly = jnp.where(use_dev, dvy, rly)
+    rlz = jnp.where(use_dev, dvz, rlz)
+
+    # Outer refraction (glsl:567-577): eta = sur/mat.
+    eta_o = sur_ri / jnp.maximum(mat_ri, 1e-6)
+    cos_i = -ndotd  # > 0 for outer hits
+    k_o = 1.0 - eta_o * eta_o * (1.0 - cos_i * cos_i)
+    sqk_o = jnp.sqrt(jnp.maximum(k_o, 0.0))
+    rfx = eta_o * dx + (eta_o * cos_i - sqk_o) * nx
+    rfy = eta_o * dy + (eta_o * cos_i - sqk_o) * ny
+    rfz = eta_o * dz + (eta_o * cos_i - sqk_o) * nz
+    finv = jax.lax.rsqrt(jnp.maximum(rfx * rfx + rfy * rfy + rfz * rfz,
+                                     1e-38))
+    rfx, rfy, rfz = rfx * finv, rfy * finv, rfz * finv
+    fvx, fvy, fvz = _deviate(rfx, rfy, rfz, sidx, spp, srfr)
+    use_fdev = (srfr > 0.001) & (k_o > 0.0)
+    rfx = jnp.where(use_fdev, fvx, rfx)
+    rfy = jnp.where(use_fdev, fvy, rfy)
+    rfz = jnp.where(use_fdev, fvz, rfz)
+    refr_ok_o = k_o > 0.0
+
+    # Inner hit (glsl:578-585): flip normal, eta = mat/sur; TIR reflects.
+    eta_i = mat_ri / jnp.maximum(sur_ri, 1e-6)
+    cos_ii = ndotd  # = -(d . n_in), > 0 for inner hits
+    k_i = 1.0 - eta_i * eta_i * (1.0 - cos_ii * cos_ii)
+    sqk_i = jnp.sqrt(jnp.maximum(k_i, 0.0))
+    ifx = eta_i * dx - (eta_i * cos_ii - sqk_i) * nx
+    ify = eta_i * dy - (eta_i * cos_ii - sqk_i) * ny
+    ifz = eta_i * dz - (eta_i * cos_ii - sqk_i) * nz
+    tir = k_i <= 0.0
+    refr_ok_i = ~tir
+
+    # Select inner/outer children.  (Logical ops, not jnp.where on
+    # bools: Mosaic lowers a bool select via an i8->i1 trunci it cannot
+    # compile.)
+    spawn_refr = can_spawn & ((inner & refr_ok_i)
+                              | (~inner & refr_ok_o & (refrv > 0.002)))
+    spawn_refl = can_spawn & ((inner & tir) | (~inner & (reflv > 0.002)))
+    cdx = jnp.where(inner, ifx, rfx)
+    cdy = jnp.where(inner, ify, rfy)
+    cdz = jnp.where(inner, ifz, rfz)
+    # Inner TIR reflection = mirror about n_in (same mirror formula).
+    mrx = dx - 2.0 * ndotd * nx
+    mry = dy - 2.0 * ndotd * ny
+    mrz = dz - 2.0 * ndotd * nz
+    clx = jnp.where(inner, mrx, rlx)
+    cly = jnp.where(inner, mry, rly)
+    clz = jnp.where(inner, mrz, rlz)
+
+    nox = jnp.where(inner, -nx, nx)  # outward-facing normal
+    noy = jnp.where(inner, -ny, ny)
+    noz = jnp.where(inner, -nz, nz)
+
+    refr_contrib = contrib * refrv
+    refl_contrib = contrib * reflv
+    fwd = (jnp.where(spawn_refr, refrv, 0.0)
+           + jnp.where(spawn_refl, reflv, 0.0))
+    contrib_post = contrib * (1.0 - 0.5 * fwd)
+    hit_c = jnp.where(did_hit, contrib_post, 0.0)
+    add_r = add_r + hit_c * rows[FT_CR : FT_CR + 1]
+    add_g = add_g + hit_c * rows[FT_CG : FT_CG + 1]
+    add_b = add_b + hit_c * rows[FT_CB : FT_CB + 1]
+
+    hit_t = jnp.where(hit, t_best, t_max)
+
+    tmax_row = jnp.full((1, L), t_max, jnp.float32)
+    z6 = jnp.zeros((6, L), jnp.float32)
+    refr16 = jnp.concatenate([
+        px - 1e-4 * nox, py - 1e-4 * noy, pz - 1e-4 * noz,
+        cdx, cdy, cdz, omt, tmax_row, refr_contrib, bounced1, z6,
+    ], axis=0)
+    refl16 = jnp.concatenate([
+        px + 1e-4 * nox, py + 1e-4 * noy, pz + 1e-4 * noz,
+        clx, cly, clz, omt, tmax_row, refl_contrib, bounced1, z6,
+    ], axis=0)
+    return (add_r, add_g, add_b, hit_t, refr16, refl16, spawn_refr,
+            spawn_refl)
+
+
 def _mega_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
                  has_dielectrics: bool, spp: int, max_bounces: int,
                  t_max: float, bg_bottom, bg_top, use_mxu: bool):
@@ -85,155 +238,25 @@ def _mega_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
                lane_ref, misc_out, refr_out, refl_out, rlane_out, llane_out,
                t_sc, obj_sc):
         rows16 = pool_ref[:]
-        ox, oy, oz = rows16[0:1], rows16[1:2], rows16[2:3]
-        dx, dy, dz = rows16[3:4], rows16[4:5], rows16[5:6]
-        omt = rows16[6:7]
-        tlim = rows16[7:8]
-        contrib = rows16[8:9]
-        bounced = rows16[9:10]
         lane = lane_ref[:]
         active = lane >= 0
-        a = dx * dx + dy * dy + dz * dz
-        live = (a > 0.5) & active
-        L = ox.shape[1]
-
-        _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt,
-                    live, tlim, t_sc, obj_sc, None, None, n_groups=n_groups,
-                    gr=gr, has_motion=has_motion, use_mxu=use_mxu,
-                    with_edge=False)
-        t_best = t_sc[:]
-        obj_best = obj_sc[:]
-        hit = (obj_best >= 0) & active
-        rows = _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best, n_pad, L)
-        t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine(
-            rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
-
-        did_hit = hit
-        missed = active & ~hit
-
-        # Background gradient (01_BVH glsl:521-540).
-        tt = (dy + 1.0) * 0.5
-        bgr = (1.0 - tt) * bg_bottom[0] + tt * bg_top[0]
-        bgg = (1.0 - tt) * bg_bottom[1] + tt * bg_top[1]
-        bgb = (1.0 - tt) * bg_bottom[2] + tt * bg_top[2]
-        miss_c = jnp.where(missed, contrib, 0.0)
-        add_r = miss_c * bgr
-        add_g = miss_c * bgg
-        add_b = miss_c * bgb
-
-        mat_ri = rows[FT_MRI : FT_MRI + 1]
-        refrv = rows[FT_REFR : FT_REFR + 1]
-        reflv = rows[FT_REFL : FT_REFL + 1]
-        srfr = rows[FT_SRFR : FT_SRFR + 1]
-        srfl = rows[FT_SRFL : FT_SRFL + 1]
-
-        ndotd = nx * dx + ny * dy + nz * dz
-        inner = ndotd > 0.0
-
-        if has_dielectrics:
-            # Only dielectric winners / interior hits consume sur_ri; skipped
-            # lanes read the neutral 1.0.
-            need = did_hit & (inner | (refrv > 0.002))
-            sur_ri = _ri_probe(
-                otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
-                pz + 1e-3 * nz, omt, n_groups=n_groups, gr=gr,
-                has_motion=has_motion, use_mxu=use_mxu, need=need)
-        else:
-            sur_ri = jnp.ones((1, L), jnp.float32)
-
         sidx = (lane - (lane // spp) * spp).astype(jnp.float32)
-        bounced1 = bounced + 1.0
-        can_spawn = (((reflv > 0.002) | (refrv > 0.002)) & (contrib > 0.01)
-                     & (bounced1 < float(max_bounces)) & did_hit)
-
-        # Outer reflection: mirror + cone deviation (01_BVH glsl:556-566).
-        rlx = dx - 2.0 * ndotd * nx
-        rly = dy - 2.0 * ndotd * ny
-        rlz = dz - 2.0 * ndotd * nz
-        rinv = jax.lax.rsqrt(jnp.maximum(rlx * rlx + rly * rly + rlz * rlz,
-                                         1e-38))
-        rlx, rly, rlz = rlx * rinv, rly * rinv, rlz * rinv
-        dvx, dvy, dvz = _deviate(rlx, rly, rlz, sidx, spp, srfl)
-        use_dev = srfl > 0.001
-        rlx = jnp.where(use_dev, dvx, rlx)
-        rly = jnp.where(use_dev, dvy, rly)
-        rlz = jnp.where(use_dev, dvz, rlz)
-
-        # Outer refraction (glsl:567-577): eta = sur/mat.
-        eta_o = sur_ri / jnp.maximum(mat_ri, 1e-6)
-        cos_i = -ndotd  # > 0 for outer hits
-        k_o = 1.0 - eta_o * eta_o * (1.0 - cos_i * cos_i)
-        sqk_o = jnp.sqrt(jnp.maximum(k_o, 0.0))
-        rfx = eta_o * dx + (eta_o * cos_i - sqk_o) * nx
-        rfy = eta_o * dy + (eta_o * cos_i - sqk_o) * ny
-        rfz = eta_o * dz + (eta_o * cos_i - sqk_o) * nz
-        finv = jax.lax.rsqrt(jnp.maximum(rfx * rfx + rfy * rfy + rfz * rfz,
-                                         1e-38))
-        rfx, rfy, rfz = rfx * finv, rfy * finv, rfz * finv
-        fvx, fvy, fvz = _deviate(rfx, rfy, rfz, sidx, spp, srfr)
-        use_fdev = (srfr > 0.001) & (k_o > 0.0)
-        rfx = jnp.where(use_fdev, fvx, rfx)
-        rfy = jnp.where(use_fdev, fvy, rfy)
-        rfz = jnp.where(use_fdev, fvz, rfz)
-        refr_ok_o = k_o > 0.0
-
-        # Inner hit (glsl:578-585): flip normal, eta = mat/sur; TIR reflects.
-        eta_i = mat_ri / jnp.maximum(sur_ri, 1e-6)
-        cos_ii = ndotd  # = -(d . n_in), > 0 for inner hits
-        k_i = 1.0 - eta_i * eta_i * (1.0 - cos_ii * cos_ii)
-        sqk_i = jnp.sqrt(jnp.maximum(k_i, 0.0))
-        ifx = eta_i * dx - (eta_i * cos_ii - sqk_i) * nx
-        ify = eta_i * dy - (eta_i * cos_ii - sqk_i) * ny
-        ifz = eta_i * dz - (eta_i * cos_ii - sqk_i) * nz
-        tir = k_i <= 0.0
-        refr_ok_i = ~tir
-
-        # Select inner/outer children.  (Logical ops, not jnp.where on
-        # bools: Mosaic lowers a bool select via an i8->i1 trunci it cannot
-        # compile.)
-        spawn_refr = can_spawn & ((inner & refr_ok_i)
-                                  | (~inner & refr_ok_o & (refrv > 0.002)))
-        spawn_refl = can_spawn & ((inner & tir) | (~inner & (reflv > 0.002)))
-        cdx = jnp.where(inner, ifx, rfx)
-        cdy = jnp.where(inner, ify, rfy)
-        cdz = jnp.where(inner, ifz, rfz)
-        # Inner TIR reflection = mirror about n_in (same mirror formula).
-        mrx = dx - 2.0 * ndotd * nx
-        mry = dy - 2.0 * ndotd * ny
-        mrz = dz - 2.0 * ndotd * nz
-        clx = jnp.where(inner, mrx, rlx)
-        cly = jnp.where(inner, mry, rly)
-        clz = jnp.where(inner, mrz, rlz)
-
-        nox = jnp.where(inner, -nx, nx)  # outward-facing normal
-        noy = jnp.where(inner, -ny, ny)
-        noz = jnp.where(inner, -nz, nz)
-
-        refr_contrib = contrib * refrv
-        refl_contrib = contrib * reflv
-        fwd = (jnp.where(spawn_refr, refrv, 0.0)
-               + jnp.where(spawn_refl, reflv, 0.0))
-        contrib_post = contrib * (1.0 - 0.5 * fwd)
-        hit_c = jnp.where(did_hit, contrib_post, 0.0)
-        add_r = add_r + hit_c * rows[FT_CR : FT_CR + 1]
-        add_g = add_g + hit_c * rows[FT_CG : FT_CG + 1]
-        add_b = add_b + hit_c * rows[FT_CB : FT_CB + 1]
-
-        hit_t = jnp.where(hit, t_best, t_max)
+        L = rows16.shape[1]
+        add_r, add_g, add_b, hit_t, refr16, refl16, spawn_refr, spawn_refl = (
+            trace_shade_block(
+                otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
+                rows16[0:1], rows16[1:2], rows16[2:3],
+                rows16[3:4], rows16[4:5], rows16[5:6],
+                rows16[6:7], rows16[7:8], rows16[8:9], rows16[9:10],
+                active, sidx, t_sc, obj_sc, n_pad=n_pad, n_groups=n_groups,
+                gr=gr, has_motion=has_motion, has_dielectrics=has_dielectrics,
+                spp=spp, max_bounces=max_bounces, t_max=t_max,
+                bg_bottom=bg_bottom, bg_top=bg_top, use_mxu=use_mxu))
         zeros = jnp.zeros((1, L), jnp.float32)
         misc_out[:] = jnp.concatenate(
             [add_r, add_g, add_b, hit_t, zeros, zeros, zeros, zeros], axis=0)
-
-        tmax_row = jnp.full((1, L), t_max, jnp.float32)
-        z6 = jnp.zeros((6, L), jnp.float32)
-        refr_out[:] = jnp.concatenate([
-            px - 1e-4 * nox, py - 1e-4 * noy, pz - 1e-4 * noz,
-            cdx, cdy, cdz, omt, tmax_row, refr_contrib, bounced1, z6,
-        ], axis=0)
-        refl_out[:] = jnp.concatenate([
-            px + 1e-4 * nox, py + 1e-4 * noy, pz + 1e-4 * noz,
-            clx, cly, clz, omt, tmax_row, refl_contrib, bounced1, z6,
-        ], axis=0)
+        refr_out[:] = refr16
+        refl_out[:] = refl16
         rlane_out[:] = jnp.where(spawn_refr, lane, -1)
         llane_out[:] = jnp.where(spawn_refl, lane, -1)
 

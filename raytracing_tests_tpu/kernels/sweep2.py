@@ -202,9 +202,20 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
                 tlim, t_sc, obj_sc, m_sc, e_sc, *, n_groups, gr, has_motion,
                 use_mxu, with_edge):
     """The grouped nearest-hit sweep writing best (t, obj[, edge]) into the
-    scratch refs.  Shared by the sweep kernels and the megakernel."""
+    scratch refs.  Shared by the sweep kernels and the megakernel.
+
+    Fast path (``n_pad <= 1024`` and no edge output): t and the winner id
+    are PACKED into one i32 ordering key — the low 10 mantissa bits of the
+    (always-positive) t are replaced by the row id, so positive-float
+    monotonicity makes a single integer min-reduction both the nearest-t
+    and the argmin.  The ~6e-5-relative t quantization is repaired by the
+    winner re-solve (``_winner_refine``), exactly like the group-anchor
+    error."""
     dn = (((1,), (0,)), ((), ()))
     L = ox.shape[1]
+    n_pad = n_groups * gr
+    packed = (not with_edge) and n_pad < 1024  # ids must stay below IDM
+    IDM = 1023  # 10-bit id field (id == IDM means "none")
     eps = 1e-12
     if use_mxu:
         z5 = jnp.zeros((5, L), jnp.float32)
@@ -213,8 +224,14 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
     iy = 1.0 / jnp.where(jnp.abs(dy) < eps, eps, dy)
     iz = 1.0 / jnp.where(jnp.abs(dz) < eps, eps, dz)
 
-    t_sc[:] = jnp.minimum(jnp.full((1, L), BIG_T, jnp.float32), tlim)
-    obj_sc[:] = jnp.full((1, L), -1, jnp.int32)
+    limit0 = jnp.minimum(jnp.full((1, L), BIG_T, jnp.float32), tlim)
+    if packed:
+        # obj_sc carries the packed key during the loop; decoded at the end.
+        obj_sc[:] = (
+            jax.lax.bitcast_convert_type(limit0, jnp.int32) & ~IDM) | IDM
+    else:
+        t_sc[:] = limit0
+        obj_sc[:] = jnp.full((1, L), -1, jnp.int32)
     if with_edge:
         m_sc[:] = jnp.full((1, L), BIG_T, jnp.float32)
         e_sc[:] = jnp.full((1, L), -1, jnp.int32)
@@ -223,7 +240,13 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
         # live-mask: a block whose lanes are ALL dead (drained queue slots)
         # skips every group — the tail iterations of a lane-aligned drain
         # cost ~the slab tests alone.
-        ghit = _slab_hit(gaabb_ref, g, ox, oy, oz, ix, iy, iz, t_sc[:]) & live
+        if packed:
+            t_best_now = jax.lax.bitcast_convert_type(
+                obj_sc[:] & ~IDM, jnp.float32)
+        else:
+            t_best_now = t_sc[:]
+        ghit = _slab_hit(gaabb_ref, g, ox, oy, oz, ix, iy, iz,
+                         t_best_now) & live
 
         @pl.when(jnp.any(ghit))
         def _(g=g):
@@ -279,14 +302,19 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
             t = jnp.where(tn > 0.0, tn, tf)
             pred = (disc > 0.0) & (t > 0.0)
             tc = jnp.where(pred, t, BIG_T)
-            gmin = jnp.min(tc, axis=0, keepdims=True)  # (1, L)
             rid = g * gr + jax.lax.broadcasted_iota(jnp.int32, (gr, L), 0)
-            gobj = jnp.min(
-                jnp.where(tc == gmin, rid, jnp.int32(0x7FFFFFFF)),
-                axis=0, keepdims=True)
-            better = gmin < t_sc[:]
-            t_sc[:] = jnp.where(better, gmin, t_sc[:])
-            obj_sc[:] = jnp.where(better, gobj, obj_sc[:])
+            if packed:
+                ik = (jax.lax.bitcast_convert_type(tc, jnp.int32) & ~IDM) | rid
+                gmin_i = jnp.min(ik, axis=0, keepdims=True)
+                obj_sc[:] = jnp.minimum(obj_sc[:], gmin_i)
+            else:
+                gmin = jnp.min(tc, axis=0, keepdims=True)  # (1, L)
+                gobj = jnp.min(
+                    jnp.where(tc == gmin, rid, jnp.int32(0x7FFFFFFF)),
+                    axis=0, keepdims=True)
+                better = gmin < t_sc[:]
+                t_sc[:] = jnp.where(better, gmin, t_sc[:])
+                obj_sc[:] = jnp.where(better, gobj, obj_sc[:])
             if with_edge:
                 # Silhouette-candidate metric (h/r)^2 - 1 where h is the
                 # ray-line/center distance: (c_q - nb^2)*rinv2.
@@ -300,6 +328,12 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
                 be = gm < m_sc[:]
                 m_sc[:] = jnp.where(be, gm, m_sc[:])
                 e_sc[:] = jnp.where(be, ge, e_sc[:])
+
+    if packed:
+        ik = obj_sc[:]
+        rid_v = ik & IDM
+        t_sc[:] = jax.lax.bitcast_convert_type(ik & ~IDM, jnp.float32)
+        obj_sc[:] = jnp.where(rid_v == IDM, -1, rid_v)
 
 
 def _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best, n_pad, L):
@@ -539,9 +573,15 @@ class Accel2:
 
 
 def make_accel2(scene: Scene, gr: int = DEFAULT_GR,
-                has_motion: bool = True) -> Accel2:
+                has_motion: bool = True, sort_origin=None) -> Accel2:
     """Morton-order objects into groups of ``gr``; huge objects isolated
-    into leading always-tested groups (same policy as v1 ``make_accel``)."""
+    into leading always-tested groups (same policy as v1 ``make_accel``).
+
+    ``sort_origin`` (e.g. the camera position) additionally orders the
+    GROUPS near-to-far by closest-AABB-point distance — the block-culling
+    analogue of the reference traversal's near-child-first heuristic
+    (01_BVH glsl:455-460): a near group hit tightens every lane's t limit
+    before the far groups' slab tests run, so far groups cull away."""
     from raytracing_tests_tpu.bvh.build import morton3d
 
     lo, hi = scene.world_aabbs()
@@ -597,7 +637,20 @@ def make_accel2(scene: Scene, gr: int = DEFAULT_GR,
     anchor = jnp.repeat(anchor_g, gr, axis=0)  # (n_pad, 3) per-object
     otab, ftab = pack_tables(scene, order, n_pad, anchor)
 
-    return Accel2(otab, pack_ftab_splits(ftab), gaabb, order, gr, has_motion)
+    perm = order
+    if n_pad != n:
+        perm = jnp.concatenate([perm, jnp.zeros((n_pad - n,), jnp.int32)])
+    if sort_origin is not None:
+        origin = jnp.asarray(sort_origin, jnp.float32)
+        near = jnp.clip(origin, glo, ghi)  # closest AABB point per group
+        d2 = jnp.sum((near - origin) ** 2, axis=1)  # empty groups -> inf
+        gorder = jnp.argsort(d2)
+        otab = otab.reshape(G, gr, OT_COLS)[gorder].reshape(n_pad, OT_COLS)
+        ftab = ftab.reshape(FT_ROWS, G, gr)[:, gorder].reshape(FT_ROWS, n_pad)
+        gaabb = gaabb[gorder]
+        perm = perm.reshape(G, gr)[gorder].reshape(n_pad)
+
+    return Accel2(otab, pack_ftab_splits(ftab), gaabb, perm, gr, has_motion)
 
 
 @functools.partial(

@@ -1,0 +1,340 @@
+"""Persistent megakernel: the ENTIRE render drain in one Pallas launch.
+
+The lane-aligned XLA drain (``ops.megalanes``) still paid two taxes the
+hardware did not have to: per-iteration XLA glue around every kernel call,
+and dead lanes idling until their whole chunk drained.  This kernel removes
+both — it is the TPU-native equivalent of a GPU "persistent threads" path
+tracer, and the closest analogue of the reference's one-launch GLSL
+megakernel (``01_BoundingVolumeHierarchy/computeShaderSrc.glsl:675-705``):
+
+  - grid = lane blocks; each block OWNS ``R`` rounds of ``L`` primary rays
+    (primaries ``[pid*R*L, (pid+1)*R*L)``), generated IN-KERNEL from the
+    camera (fov basis + sunflower thin-lens DOF, ``glsl:364-411``) — no
+    primary-ray arrays ever touch HBM;
+  - every lane runs its own round counter: the moment a lane's ray tree is
+    exhausted it flushes its round's color into the block-local output tile
+    and regenerates the next primary — occupancy stays near 100% without
+    any compaction, scatter, or sort;
+  - the per-lane LIFO ray stack (reflection continues in place, refraction
+    waits on the stack — the reference's push/pop order) lives in VMEM
+    scratch; queue records keep 8 rows (o, d, contribution, bounce count —
+    omt and t_limit are lane constants, rebuilt on pop);
+  - the bounce loop is a ``lax.while_loop`` whose condition is "any lane
+    active, any flush pending, or any round left".
+
+Scope (asserted by the driver): sphere-mode scene, 'bvh' shading,
+single-focus perspective camera, no aa_grid, no lights, no textures — the
+headline benchmark family.  ``ops.render`` remains the general path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracing_tests_tpu.kernels.mega import (
+    GOLDEN_ANGLE,
+    _cross_up,
+    trace_shade_block,
+)
+from raytracing_tests_tpu.kernels.sweep2 import _interpret, make_accel2
+
+# Camera scalar-vector layout (host-packed, SMEM).
+(
+    CAM_PX, CAM_PY, CAM_PZ, CAM_DX, CAM_DY, CAM_DZ,
+    CAM_RX, CAM_RY, CAM_RZ, CAM_UX, CAM_UY, CAM_UZ,
+    CAM_SD, CAM_AP, CAM_FD, CAM_PAD,
+) = range(16)
+
+
+def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
+                 n_pad, n_groups, gr, has_motion, has_dielectrics, Q,
+                 B_total, use_mxu, max_iters):
+    aspect = W / H
+
+    def kernel(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref, cam_ref,
+               out_ref, stat_ref, cur_sc, meta_sc, q_sc, acc_sc, t_sc,
+               obj_sc):
+        L = cur_sc.shape[1]
+        pid = pl.program_id(0)
+        base = pid * (R * L)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        rowR = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+        qrow = jax.lax.broadcasted_iota(jnp.int32, (Q * 8, L), 0)
+        tmax_row = jnp.full((1, L), t_max, jnp.float32)
+        zeros1 = jnp.zeros((1, L), jnp.float32)
+
+        out_ref[:] = jnp.zeros((R * 4, L), jnp.float32)
+        stat_ref[:] = jnp.zeros((2, L), jnp.int32)
+        cur_sc[:] = jnp.zeros((16, L), jnp.float32)
+        meta_sc[:] = jnp.zeros((8, L), jnp.int32)
+        meta_sc[0:1] = jnp.full((1, L), -1, jnp.int32)  # round counter k
+        q_sc[:] = jnp.zeros((Q * 8, L), jnp.float32)
+        acc_sc[:] = jnp.zeros((4, L), jnp.float32)
+
+        def raygen(p):
+            """Primary ray for global lane index p ((1, L) i32) -> (16, L).
+
+            Transcribes ``ops.camera_rays.primary_rays`` (single-focus,
+            no aa_grid): unnormalized right/up screen basis + sunflower
+            thin-lens aperture pivoting about the focal point."""
+            pix = p // spp
+            s_i = p - pix * spp
+            sf = s_i.astype(jnp.float32)
+            ix = pix - (pix // W) * W
+            iy = pix // W
+            pxs = (ix.astype(jnp.float32) * (1.0 / W) - 0.5) * aspect
+            pys = iy.astype(jnp.float32) * (1.0 / H) - 0.5
+            sd = cam_ref[0, CAM_SD]
+            bdx = cam_ref[0, CAM_DX] * sd + cam_ref[0, CAM_RX] * pxs + cam_ref[0, CAM_UX] * pys
+            bdy = cam_ref[0, CAM_DY] * sd + cam_ref[0, CAM_RY] * pxs + cam_ref[0, CAM_UY] * pys
+            bdz = cam_ref[0, CAM_DZ] * sd + cam_ref[0, CAM_RZ] * pxs + cam_ref[0, CAM_UZ] * pys
+            binv = jax.lax.rsqrt(jnp.maximum(bdx * bdx + bdy * bdy + bdz * bdz, 1e-30))
+            bdx, bdy, bdz = bdx * binv, bdy * binv, bdz * binv
+
+            # sunflower_disc(s, spp, aperture)
+            n = float(spp)
+            b = float(np.round(2.0 * np.sqrt(n)))
+            denom = n - (b + 1.0) / 2.0
+            denom = denom if denom > 0 else 1.0
+            half_ap = cam_ref[0, CAM_AP] * 0.5
+            r = jnp.where(
+                sf > n - b, half_ap,
+                half_ap * jnp.sqrt(jnp.maximum(sf - 0.5, 0.0) * (1.0 / denom)))
+            r = jnp.where(sf == 0.0, 0.0, r)
+            th = GOLDEN_ANGLE * sf
+            offx = r * jnp.cos(th)
+            offy = r * jnp.sin(th)
+            rrx, rry, rrz, rux, ruy, ruz = _cross_up(bdx, bdy, bdz)
+
+            fd = cam_ref[0, CAM_FD]
+            px_, py_, pz_ = cam_ref[0, CAM_PX], cam_ref[0, CAM_PY], cam_ref[0, CAM_PZ]
+            tipx = px_ + bdx + rrx * offx + rux * offy
+            tipy = py_ + bdy + rry * offx + ruy * offy
+            tipz = pz_ + bdz + rrz * offx + ruz * offy
+            ddx = px_ + bdx * fd - tipx
+            ddy = py_ + bdy * fd - tipy
+            ddz = pz_ + bdz * fd - tipz
+            dinv = jax.lax.rsqrt(jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-30))
+            ddx, ddy, ddz = ddx * dinv, ddy * dinv, ddz * dinv
+            ox = tipx - ddx
+            oy = tipy - ddy
+            oz = tipz - ddz
+            omt = 1.0 - sf * (1.0 / n)  # time_ratio = s / spp
+            return jnp.concatenate([
+                ox, oy, oz, ddx, ddy, ddz, omt, tmax_row,
+                jnp.ones((1, L), jnp.float32), zeros1,
+                jnp.zeros((6, L), jnp.float32),
+            ], axis=0)
+
+        def body(carry):
+            it, _ = carry
+            k = meta_sc[0:1]
+            act = meta_sc[1:2] > 0
+            qs = meta_sc[2:3]
+
+            # ---- flush finished rounds into the output tile --------------
+            # (channel-major rows c*R + k: one (R, L) one-hot shared by the
+            # four channel segments instead of a (4R, L) interleaved select)
+            fin = (~act) & (k >= 0)
+
+            @pl.when(jnp.any(fin))
+            def _():
+                accs = acc_sc[:]
+                sel = (rowR == k) & fin
+                for c in range(4):
+                    seg = out_ref[c * R : (c + 1) * R]
+                    out_ref[c * R : (c + 1) * R] = seg + jnp.where(
+                        sel, accs[c : c + 1], 0.0)
+
+            # ---- regenerate the next primary / retire the lane -----------
+            k_next = k + 1
+            p_new = base + k_next * L + lane_iota
+            # k == -2 marks a RETIRED lane (k_next < 0): never regenerate.
+            can_re = ((~act) & (k_next >= 0) & (k_next < R)
+                      & (p_new < B_total))
+
+            @pl.when(jnp.any(can_re))
+            def _():
+                new16 = raygen(p_new)
+                cur_sc[:] = jnp.where(can_re, new16, cur_sc[:])
+                acc_sc[:] = jnp.where(
+                    can_re,
+                    jnp.concatenate([zeros1, zeros1, zeros1, tmax_row]),
+                    acc_sc[:])
+
+            k = jnp.where(can_re, k_next, jnp.where(fin, -2, k))
+            act = act | can_re
+            meta_sc[0:1] = k
+            meta_sc[1:2] = act.astype(jnp.int32)
+
+            # ---- trace + shade ------------------------------------------
+            cur = cur_sc[:]
+            p_cur = base + jnp.maximum(k, 0) * L + lane_iota
+            s_i = p_cur - (p_cur // spp) * spp
+            sidx = s_i.astype(jnp.float32)
+            (add_r, add_g, add_b, hit_t, refr16, refl16, spawn_refr,
+             spawn_refl) = trace_shade_block(
+                otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
+                cur[0:1], cur[1:2], cur[2:3], cur[3:4], cur[4:5], cur[5:6],
+                cur[6:7], cur[7:8], cur[8:9], cur[9:10], act, sidx,
+                t_sc, obj_sc, n_pad=n_pad, n_groups=n_groups, gr=gr,
+                has_motion=has_motion, has_dielectrics=has_dielectrics,
+                spp=spp, max_bounces=max_bounces, t_max=t_max,
+                bg_bottom=bg_bottom, bg_top=bg_top, use_mxu=use_mxu)
+            primary = act & (cur[9:10] == 0.0)
+            acc_sc[:] = jnp.concatenate([
+                acc_sc[0:1] + add_r, acc_sc[1:2] + add_g, acc_sc[2:3] + add_b,
+                jnp.where(primary, hit_t, acc_sc[3:4]),
+            ], axis=0)
+            stat_ref[0:1] = stat_ref[0:1] + act.astype(jnp.int32)
+
+            # ---- children: reflect in place, push refraction -------------
+            push = spawn_refl & spawn_refr
+            canq = qs < Q
+            do_push = push & canq
+            stat_ref[1:2] = stat_ref[1:2] + (push & ~canq).astype(jnp.int32)
+
+            refr8 = jnp.concatenate([refr16[0:6], refr16[8:10]], axis=0)
+            qr8 = qrow - (qrow // 8) * 8
+            vals8 = refr8[0:1]
+            for rr in range(1, 8):
+                vals8 = jnp.where(qr8 == rr, refr8[rr : rr + 1], vals8)
+
+            @pl.when(jnp.any(do_push))
+            def _():
+                q_sc[:] = jnp.where(((qrow // 8) == qs) & do_push, vals8,
+                                    q_sc[:])
+
+            qs = qs + do_push.astype(jnp.int32)
+            need_pop = act & ~spawn_refl & ~spawn_refr
+            do_pop = need_pop & (qs > 0)
+            qtop = qs - 1
+            qv = q_sc[:]
+            pop8 = [qv[rr : rr + 1] for rr in range(8)]
+            for qq in range(1, Q):
+                selq = qtop == qq
+                for rr in range(8):
+                    pop8[rr] = jnp.where(selq, qv[qq * 8 + rr : qq * 8 + rr + 1],
+                                         pop8[rr])
+            omt_row = cur[6:7]  # lane constant: time never changes in a tree
+            popped16 = jnp.concatenate(
+                pop8[0:6] + [omt_row, tmax_row] + pop8[6:8]
+                + [jnp.zeros((6, L), jnp.float32)], axis=0)
+            qs = qs - do_pop.astype(jnp.int32)
+
+            cur_sc[:] = jnp.where(spawn_refl, refl16,
+                                  jnp.where(spawn_refr, refr16, popped16))
+            act2 = act & (spawn_refl | spawn_refr | do_pop)
+            meta_sc[1:2] = act2.astype(jnp.int32)
+            meta_sc[2:3] = qs
+
+            # ---- continue while work remains ----------------------------
+            k_now = meta_sc[0:1]
+            flush_pending = (~act2) & (k_now >= 0)
+            regen_possible = ((~act2) & (k_now + 1 >= 0) & (k_now + 1 < R)
+                              & (base + (k_now + 1) * L + lane_iota < B_total))
+            more = (jnp.any(act2) | jnp.any(flush_pending)
+                    | jnp.any(regen_possible))
+            return (it + 1, more)
+
+        jax.lax.while_loop(lambda c: c[1] & (c[0] < max_iters), body,
+                           (jnp.int32(0), jnp.bool_(True)))
+
+    return kernel
+
+
+def pack_camera(camera):
+    """Camera pytree -> (1, 16) f32 scalar vector (see CAM_* layout)."""
+    d = camera.direction
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    right = jnp.cross(d, up)  # unnormalized, faithful to the reference
+    cup = jnp.cross(right, d)
+    sd = 1.0 / (2.0 * jnp.tan(camera.fov_y * 0.5))
+    vals = jnp.concatenate([
+        camera.position, d, right, cup,
+        jnp.stack([sd, camera.aperture, camera.focus_dist[0],
+                   jnp.zeros((), jnp.float32)]),
+    ])
+    return vals.reshape(1, 16).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "B", "L", "R", "gr", "use_mxu"))
+def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
+               gr: int, use_mxu: bool):
+    fhi, fmid, flo = ftab3
+    n_pad = otab.shape[0]
+    n_groups = n_pad // gr
+    NB = -(-B // (R * L))
+    Q = cfg.queue_capacity
+    max_iters = R * cfg.pops + 64
+    kernel = _uber_kernel(
+        R=R, W=cfg.width, H=cfg.height, spp=cfg.spp,
+        max_bounces=cfg.max_bounces, t_max=cfg.t_max,
+        bg_bottom=cfg.background[0], bg_top=cfg.background[1],
+        n_pad=n_pad, n_groups=n_groups, gr=gr, has_motion=cfg.has_motion,
+        has_dielectrics=cfg.has_dielectrics, Q=Q, B_total=B,
+        use_mxu=use_mxu, max_iters=max_iters)
+    lane_spec = lambda rows: pl.BlockSpec((rows, L), lambda i: (0, i),
+                                          memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    out, stat = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[full(otab), full(fhi), full(fmid), full(flo), full(gaabb),
+                  pl.BlockSpec(cam.shape, lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=(lane_spec(R * 4), lane_spec(2)),
+        out_shape=(
+            jax.ShapeDtypeStruct((R * 4, NB * L), jnp.float32),
+            jax.ShapeDtypeStruct((2, NB * L), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((16, L), jnp.float32),  # cur
+            pltpu.VMEM((8, L), jnp.int32),  # meta: k, act, qsize
+            pltpu.VMEM((Q * 8, L), jnp.float32),  # LIFO stack
+            pltpu.VMEM((4, L), jnp.float32),  # round accumulator
+            pltpu.VMEM((1, L), jnp.float32),  # sweep t
+            pltpu.VMEM((1, L), jnp.int32),  # sweep obj
+        ],
+        interpret=_interpret(),
+    )(otab, fhi, fmid, flo, gaabb, cam)
+    return out, stat, NB
+
+
+def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
+                gr: int = 32, use_mxu: bool = False):
+    """Full render via the persistent kernel;
+    dict(image, depth, rays, rays_dropped)."""
+    from raytracing_tests_tpu.ops.render import finalize
+
+    assert lights is None, "uber path: no emissive lights (use queue)"
+    assert cfg.shading == "bvh", "uber path implements INW shading"
+    assert cfg.pallas_mode == "spheres", "uber path is sphere-mode"
+    assert scene.textures is None, "uber path is untextured"
+    assert not cfg.aa_grid, "uber path: DOF sampling only (no aa_grid)"
+    assert not cfg.show_normals
+    assert camera.focus_dist.shape[0] == 1, "uber path: single focus"
+    H, W, S = cfg.height, cfg.width, cfg.spp
+    B = H * W * S
+    accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
+                        sort_origin=camera.position)
+    cam = pack_camera(camera)
+    out, stat, NB = _uber_call(accel.otab, accel.ftab3, accel.gaabb, cam,
+                               cfg, B, L, R, gr, use_mxu)
+    o4 = out.reshape(4, R, NB, L).transpose(2, 1, 3, 0).reshape(NB * R * L, 4)
+    o4 = o4[:B]
+    colors3 = o4[:, :3].reshape(H, W, S, 3)
+    primary_t = o4[:, 3].reshape(H, W, S)
+    res = finalize(colors3, primary_t, cfg)
+    res["rays"] = jnp.sum(stat[0])
+    res["rays_dropped"] = jnp.sum(stat[1])
+    return res

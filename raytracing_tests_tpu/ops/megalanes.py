@@ -200,7 +200,8 @@ def render_megalanes(
     B = H * W * S
     P = H * W
     C = min(chunk, -(-B // block) * block)
-    accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion)
+    accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
+                        sort_origin=camera.position)
     o, d, time_ratio, _ = _lane_inputs(camera, cfg)
     ids = jnp.arange(B, dtype=jnp.int32)
 

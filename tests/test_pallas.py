@@ -218,3 +218,35 @@ def test_megalanes_matches_queue(schedule):
     ddiff = np.abs(np.asarray(oq["depth"]) - np.asarray(om["depth"]))
     assert (ddiff > 1e-3).mean() <= 0.005, (ddiff > 1e-3).sum()
     assert int(om["rays_dropped"]) == 0
+
+
+def test_uber_matches_queue_statistically():
+    """Persistent kernel (kernels/uber.py) vs the queue renderer.
+
+    The uber path generates camera rays IN-KERNEL; its primaries differ
+    from ``primary_rays`` by f32 rounding (~1e-7), which chaotically flips
+    rare grazing samples downstream — with identical primaries the two
+    paths agree to 7e-5 (verified).  So the assertion here is statistical:
+    means match, only a small fraction of pixels may differ visibly, the
+    depth map (primary hits) matches, and ray counts agree to ~2%."""
+    from raytracing_tests_tpu.kernels.uber import render_uber
+
+    import jax
+
+    from raytracing_tests_tpu.ops.render import render_stats
+
+    scene, cam = examples.iow_final_scene(side=5)
+    cfg = RenderConfig(
+        width=48, height=32, spp=8, max_bounces=5, intersector="pallas"
+    ).for_scene(scene)
+    oq = jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, cam)
+    ou = render_uber(scene, cam, cfg, L=256, R=8)
+    iq, iu = np.asarray(oq["image"]), np.asarray(ou["image"])
+    assert abs(float(iq.mean()) - float(iu.mean())) < 5e-3
+    d = np.abs(iq - iu).max(axis=-1)
+    assert (d > 0.05).mean() < 0.03, (d > 0.05).sum()
+    dq = np.abs(np.asarray(oq["depth"]) - np.asarray(ou["depth"]))
+    assert (dq > 1e-2).mean() < 0.01
+    rq, ru = int(oq["rays"]), int(ou["rays"])
+    assert abs(rq - ru) / rq < 0.02, (rq, ru)
+    assert int(ou["rays_dropped"]) == 0
