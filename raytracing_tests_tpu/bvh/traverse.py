@@ -14,6 +14,16 @@ until all are done.  Transitions per iteration:
 
 Node AABBs are pruned against the lane's current best t (the reference's
 ``t_limit`` argument to ``TestIntersectAABB``, glsl:187-210).
+
+STATUS: reference-semantics ORACLE, not a performance path.  Measured on a
+real v5e at 1,025 objects (scripts/bvh1k.py): 54.6 s/frame vs 66 ms for the
+grouped block-culling sweep — the lockstep walk pays a full scene gather +
+primitive test per lane per iteration, and per-lane divergence makes every
+lane wait for the deepest.  Block-granular culling (kernels/sweep.py
+grouped mode, generic table) is the TPU-native answer at every scale we
+measured; this module stays as the structural mirror of the reference
+traversal and as an independent cross-check of the sweep results
+(tests/test_bvh.py).
 """
 
 from __future__ import annotations

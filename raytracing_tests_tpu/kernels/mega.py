@@ -101,18 +101,36 @@ def trace_shade_block(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
     t_best = t_sc[:]
     obj_best = obj_sc[:]
     hit = (obj_best >= 0) & active
-    rows = _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best, n_pad, L)
-    t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine(
-        rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
-
-    did_hit = hit
-    missed = active & ~hit
 
     # Background gradient (01_BVH glsl:521-540).
     tt = (dy + 1.0) * 0.5
     bgr = (1.0 - tt) * bg_bottom[0] + tt * bg_top[0]
     bgg = (1.0 - tt) * bg_bottom[1] + tt * bg_top[1]
     bgb = (1.0 - tt) * bg_bottom[2] + tt * bg_top[2]
+
+    # (An all-miss fast branch via in-kernel lax.cond does not survive this
+    # Mosaic toolchain — the unconditional path it is.)
+    return _shade_hits(
+        otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
+        ox, oy, oz, dx, dy, dz, omt, contrib, bounced, active, sidx,
+        t_best, obj_best, hit, bgr, bgg, bgb, n_pad=n_pad,
+        n_groups=n_groups, gr=gr, has_motion=has_motion,
+        has_dielectrics=has_dielectrics, spp=spp,
+        max_bounces=max_bounces, t_max=t_max, use_mxu=use_mxu)
+
+
+def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
+                ox, oy, oz, dx, dy, dz, omt, contrib, bounced, active, sidx,
+                t_best, obj_best, hit, bgr, bgg, bgb, *, n_pad, n_groups, gr,
+                has_motion, has_dielectrics, spp, max_bounces, t_max,
+                use_mxu):
+    L = ox.shape[1]
+    rows = _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best, n_pad, L)
+    t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine(
+        rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
+
+    did_hit = hit
+    missed = active & ~hit
     miss_c = jnp.where(missed, contrib, 0.0)
     add_r = miss_c * bgr
     add_g = miss_c * bgg

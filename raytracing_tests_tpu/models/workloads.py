@@ -100,9 +100,12 @@ register(
 
 register(
     "bvh",
-    "LBVH-accelerated grid of primitives (the flagship kernel)",
+    "grid of primitives under the grouped block-culling sweep (the "
+    "flagship kernel's role); pass --intersector bvh for the LBVH "
+    "traversal oracle (measured 827x slower at 1k objects on v5e — "
+    "lockstep while_loop, docs/PERFORMANCE.md)",
     reference="In-Next-Week/01_BoundingVolumeHierarchy",
-)(_rt_run(examples.bvh_grid_scene, dict(spp=4, intersector="bvh")))
+)(_rt_run(examples.bvh_grid_scene, dict(spp=4, intersector="pallas")))
 
 register(
     "texturing",
