@@ -93,11 +93,27 @@ def _cmd_train(args):
     scene, camera, cfg = out["scene"], out["camera"], out["cfg"]
     target = np.asarray(out["image"])
 
-    rng = np.random.default_rng(args.seed)
-    perturbed = scene.replace(
-        color=scene.color * 0.5 + rng.uniform(0, 0.5, scene.color.shape).astype("float32")
-    )
     fields = args.train_fields.split(",")
+    rng = np.random.default_rng(args.seed)
+    # Perturb the fields being trained so the demo recovers something real.
+    perturbed = scene
+    if "color" in fields:
+        perturbed = perturbed.replace(
+            color=scene.color * 0.5
+            + rng.uniform(0, 0.5, scene.color.shape).astype("float32")
+        )
+    if "position" in fields:
+        jitter = rng.uniform(-0.1, 0.1, scene.position.shape).astype("float32")
+        perturbed = perturbed.replace(position=scene.position + jitter)
+    if "scale" in fields:
+        factor = rng.uniform(0.85, 1.15, (scene.capacity, 1)).astype("float32")
+        perturbed = perturbed.replace(scale=scene.scale * factor)
+    if perturbed is scene:  # other fields: mild color shift keeps loss nonzero
+        perturbed = perturbed.replace(color=scene.color * 0.8 + 0.1)
+    if args.soft_edges > 0.0:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, soft_edges=args.soft_edges)
     opt = optax.adam(args.lr)
     mesh = None
     if args.mesh:
@@ -198,6 +214,10 @@ def main(argv=None):
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--mesh", type=int)
     pt.add_argument("--train-fields", default="color")
+    pt.add_argument(
+        "--soft-edges", type=float, default=0.0,
+        help="edge-aware gradient band (~0.03 recommended when training "
+        "position/scale; see diff/fastpath.py)")
     pt.add_argument("--out-dir")
     pt.add_argument("--ckpt-dir", help="checkpoint/resume directory")
     pt.add_argument("--ckpt-every", type=int, default=20)

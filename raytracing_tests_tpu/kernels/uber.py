@@ -40,8 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 from raytracing_tests_tpu.kernels.mega import (
     GOLDEN_ANGLE,
     _cross_up,
-    trace_shade_block,
+    _shade_hits,
 )
+from raytracing_tests_tpu.kernels.sweep2 import _sweep_loop
 from raytracing_tests_tpu.kernels.sweep2 import _interpret, make_accel2
 
 # Camera scalar-vector layout (host-packed, SMEM).
@@ -59,7 +60,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
 
     def kernel(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref, cam_ref,
                out_ref, stat_ref, cur_sc, meta_sc, q_sc, acc_sc, t_sc,
-               obj_sc):
+               obj_sc, res_sc):
         L = cur_sc.shape[1]
         pid = pl.program_id(0)
         base = pid * (R * L)
@@ -178,15 +179,55 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             p_cur = base + jnp.maximum(k, 0) * L + lane_iota
             s_i = p_cur - (p_cur // spp) * spp
             sidx = s_i.astype(jnp.float32)
-            (add_r, add_g, add_b, hit_t, refr16, refl16, spawn_refr,
-             spawn_refl) = trace_shade_block(
-                otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
-                cur[0:1], cur[1:2], cur[2:3], cur[3:4], cur[4:5], cur[5:6],
-                cur[6:7], cur[7:8], cur[8:9], cur[9:10], act, sidx,
-                t_sc, obj_sc, n_pad=n_pad, n_groups=n_groups, gr=gr,
-                has_motion=has_motion, has_dielectrics=has_dielectrics,
-                spp=spp, max_bounces=max_bounces, t_max=t_max,
-                bg_bottom=bg_bottom, bg_top=bg_top, use_mxu=use_mxu)
+            dx, dy, dz = cur[3:4], cur[4:5], cur[5:6]
+            contrib = cur[8:9]
+            a2 = dx * dx + dy * dy + dz * dz
+            live = (a2 > 0.5) & act
+            _sweep_loop(otab_ref, gaabb_ref, cur[0:1], cur[1:2], cur[2:3],
+                        dx, dy, dz, cur[6:7], live, cur[7:8], t_sc, obj_sc,
+                        None, None, n_groups=n_groups, gr=gr,
+                        has_motion=has_motion, use_mxu=use_mxu,
+                        with_edge=False)
+            hit = (obj_sc[:] >= 0) & act
+            tt_ = (dy + 1.0) * 0.5
+            bgr = (1.0 - tt_) * bg_bottom[0] + tt_ * bg_top[0]
+            bgg = (1.0 - tt_) * bg_bottom[1] + tt_ * bg_top[1]
+            bgb = (1.0 - tt_) * bg_bottom[2] + tt_ * bg_top[2]
+
+            # Hit blocks run the full shade; pure-miss (sky) blocks write
+            # background only — lax.cond does not survive Mosaic, so the
+            # branch goes through pl.when and a results scratch.
+            @pl.when(jnp.any(hit))
+            def _():
+                (r_, g_, b_, t_, refr_, refl_, sr_, sl_) = _shade_hits(
+                    otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
+                    cur[0:1], cur[1:2], cur[2:3], dx, dy, dz, cur[6:7],
+                    contrib, cur[9:10], act, sidx, t_sc[:], obj_sc[:], hit,
+                    bgr, bgg, bgb, n_pad=n_pad, n_groups=n_groups, gr=gr,
+                    has_motion=has_motion, has_dielectrics=has_dielectrics,
+                    spp=spp, max_bounces=max_bounces, t_max=t_max,
+                    use_mxu=use_mxu)
+                res_sc[:] = jnp.concatenate([
+                    r_, g_, b_, t_, refr_, refl_,
+                    sr_.astype(jnp.float32), sl_.astype(jnp.float32),
+                    jnp.zeros((2, L), jnp.float32),
+                ], axis=0)
+
+            @pl.when(~jnp.any(hit))
+            def _():
+                mc = jnp.where(act, contrib, 0.0)
+                res_sc[:] = jnp.concatenate([
+                    mc * bgr, mc * bgg, mc * bgb, tmax_row,
+                    jnp.zeros((36, L), jnp.float32),
+                ], axis=0)
+
+            res = res_sc[:]
+            add_r, add_g, add_b = res[0:1], res[1:2], res[2:3]
+            hit_t = res[3:4]
+            refr16 = res[4:20]
+            refl16 = res[20:36]
+            spawn_refr = res[36:37] > 0.5
+            spawn_refl = res[37:38] > 0.5
             primary = act & (cur[9:10] == 0.0)
             acc_sc[:] = jnp.concatenate([
                 acc_sc[0:1] + add_r, acc_sc[1:2] + add_g, acc_sc[2:3] + add_b,
@@ -304,6 +345,7 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
             pltpu.VMEM((4, L), jnp.float32),  # round accumulator
             pltpu.VMEM((1, L), jnp.float32),  # sweep t
             pltpu.VMEM((1, L), jnp.int32),  # sweep obj
+            pltpu.VMEM((40, L), jnp.float32),  # shade results
         ],
         interpret=_interpret(),
     )(otab, fhi, fmid, flo, gaabb, cam)

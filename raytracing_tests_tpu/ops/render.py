@@ -257,20 +257,29 @@ def _shadow_factor(scene, lights: Lights, hit, normal, sample_ratio, time_ratio,
 
     Each lane aims at a per-sample point inside each light's AABB; a light
     counts as visible when the nearest occluder IS the light object.
-    """
+
+    The light axis is BATCHED into one flattened (L*B)-lane occlusion sweep
+    instead of a per-light scan — one kernel launch regardless of light
+    count, and masked lights carry zero directions so the sweep's live-mask
+    culling makes their lanes nearly free."""
     origin = hit + 1e-4 * normal
-
-    def one_light(is_lit, li):
-        bb_min, bb_max = lights.bb_min[li], lights.bb_max[li]
-        center = (bb_min + bb_max) * 0.5
-        target = bb_min + (bb_max - bb_min) * sample_ratio[:, None]
-        t_lim = linalg.norm(center - origin) + linalg.norm(bb_max - bb_min)
-        d = linalg.normalize(target - origin)
-        nearest = _nearest_obj(scene, accel, origin, d, time_ratio, t_lim)
-        lit = scene.emissive[jnp.maximum(nearest, 0)] & (nearest >= 0)
-        return is_lit + jnp.where(lights.mask[li], lit.astype(jnp.float32), 0.0), None
-
-    is_lit, _ = jax.lax.scan(one_light, jnp.zeros(origin.shape[0]), jnp.arange(lights.capacity))
+    B = origin.shape[0]
+    Lc = lights.capacity
+    bb_min, bb_max = lights.bb_min, lights.bb_max  # (Lc, 3)
+    center = (bb_min + bb_max) * 0.5
+    target = bb_min[:, None, :] + (bb_max - bb_min)[:, None, :] * sample_ratio[None, :, None]
+    t_lim = (
+        jnp.sqrt(jnp.sum((center[:, None, :] - origin[None]) ** 2, axis=-1))
+        + jnp.sqrt(jnp.sum((bb_max - bb_min) ** 2, axis=-1))[:, None]
+    )  # (Lc, B)
+    d = linalg.normalize(target - origin[None]) * lights.mask[:, None, None]
+    o_f = jnp.broadcast_to(origin[None], (Lc, B, 3)).reshape(-1, 3)
+    tr_f = jnp.broadcast_to(time_ratio[None], (Lc, B)).reshape(-1)
+    nearest = _nearest_obj(
+        scene, accel, o_f, d.reshape(-1, 3), tr_f, t_lim.reshape(-1))
+    lit = (scene.emissive[jnp.maximum(nearest, 0)] & (nearest >= 0)).reshape(Lc, B)
+    is_lit = jnp.sum(
+        jnp.where(lights.mask[:, None], lit.astype(jnp.float32), 0.0), axis=0)
     return is_lit / jnp.maximum(lights.count.astype(jnp.float32), 1.0)
 
 
