@@ -45,12 +45,16 @@ from raytracing_tests_tpu.kernels.mega import (
 from raytracing_tests_tpu.kernels.sweep2 import _sweep_loop
 from raytracing_tests_tpu.kernels.sweep2 import _interpret, make_accel2
 
-# Camera scalar-vector layout (host-packed, SMEM).
+# Camera scalar-vector layout (host-packed, SMEM).  ROW_STRIDE/ROW0 map a
+# device shard's local row index to the global image row (iy = local *
+# stride + row0) so a mesh-sharded launch renders interleaved row bands
+# with the exact same rays as the single-device render.
 (
     CAM_PX, CAM_PY, CAM_PZ, CAM_DX, CAM_DY, CAM_DZ,
     CAM_RX, CAM_RY, CAM_RZ, CAM_UX, CAM_UY, CAM_UZ,
-    CAM_SD, CAM_AP, CAM_FD, CAM_PAD,
-) = range(16)
+    CAM_SD, CAM_AP, CAM_FD, CAM_STRIDE, CAM_ROW0, CAM_PAD,
+) = range(18)
+CAM_LEN = 24  # padded
 
 
 def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
@@ -89,8 +93,10 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             sf = s_i.astype(jnp.float32)
             ix = pix - (pix // W) * W
             iy = pix // W
+            iy = (iy.astype(jnp.float32) * cam_ref[0, CAM_STRIDE]
+                  + cam_ref[0, CAM_ROW0])
             pxs = (ix.astype(jnp.float32) * (1.0 / W) - 0.5) * aspect
-            pys = iy.astype(jnp.float32) * (1.0 / H) - 0.5
+            pys = iy * (1.0 / H) - 0.5
             sd = cam_ref[0, CAM_SD]
             bdx = cam_ref[0, CAM_DX] * sd + cam_ref[0, CAM_RX] * pxs + cam_ref[0, CAM_UX] * pys
             bdy = cam_ref[0, CAM_DY] * sd + cam_ref[0, CAM_RY] * pxs + cam_ref[0, CAM_UY] * pys
@@ -290,8 +296,8 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
     return kernel
 
 
-def pack_camera(camera):
-    """Camera pytree -> (1, 16) f32 scalar vector (see CAM_* layout)."""
+def pack_camera(camera, row_stride=1.0, row0=0.0):
+    """Camera pytree -> (1, CAM_LEN) f32 scalar vector (see CAM_* layout)."""
     d = camera.direction
     up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
     right = jnp.cross(d, up)  # unnormalized, faithful to the reference
@@ -300,16 +306,19 @@ def pack_camera(camera):
     vals = jnp.concatenate([
         camera.position, d, right, cup,
         jnp.stack([sd, camera.aperture, camera.focus_dist[0],
+                   jnp.asarray(row_stride, jnp.float32),
+                   jnp.asarray(row0, jnp.float32),
                    jnp.zeros((), jnp.float32)]),
     ])
-    return vals.reshape(1, 16).astype(jnp.float32)
+    return jnp.pad(vals, (0, CAM_LEN - vals.shape[0])).reshape(
+        1, CAM_LEN).astype(jnp.float32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "B", "L", "R", "gr", "use_mxu"))
+    static_argnames=("cfg", "B", "L", "R", "gr", "use_mxu", "full_height"))
 def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
-               gr: int, use_mxu: bool):
+               gr: int, use_mxu: bool, full_height: int = 0):
     fhi, fmid, flo = ftab3
     n_pad = otab.shape[0]
     n_groups = n_pad // gr
@@ -317,7 +326,7 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
     Q = cfg.queue_capacity
     max_iters = R * cfg.pops + 64
     kernel = _uber_kernel(
-        R=R, W=cfg.width, H=cfg.height, spp=cfg.spp,
+        R=R, W=cfg.width, H=full_height or cfg.height, spp=cfg.spp,
         max_bounces=cfg.max_bounces, t_max=cfg.t_max,
         bg_bottom=cfg.background[0], bg_top=cfg.background[1],
         n_pad=n_pad, n_groups=n_groups, gr=gr, has_motion=cfg.has_motion,
@@ -353,10 +362,19 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
 
 
 def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
-                gr: int = 32, use_mxu: bool = False):
+                gr: int = 32, use_mxu: bool = False, qcap=None):
     """Full render via the persistent kernel;
-    dict(image, depth, rays, rays_dropped)."""
+    dict(image, depth, rays, rays_dropped).
+
+    ``qcap`` overrides ``cfg.queue_capacity`` for the in-VMEM LIFO stack —
+    a shallower stack is measurably faster (fewer scratch rows touched per
+    push/pop); ``rays_dropped`` reports any overflow honestly."""
+    import dataclasses
+
     from raytracing_tests_tpu.ops.render import finalize
+
+    if qcap is not None and qcap != cfg.queue_capacity:
+        cfg = dataclasses.replace(cfg, queue_capacity=qcap)
 
     assert lights is None, "uber path: no emissive lights (use queue)"
     assert cfg.shading == "bvh", "uber path implements INW shading"

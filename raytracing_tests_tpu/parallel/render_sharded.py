@@ -93,3 +93,70 @@ def render_sharded(
 @partial(jax.jit, static_argnames=("cfg", "mesh"))
 def render_sharded_jit(scene, camera, cfg: RenderConfig, mesh: Mesh, lights=None):
     return render_sharded(scene, camera, cfg, mesh, lights)
+
+
+def render_uber_sharded(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    lights: Optional[Lights] = None,
+    L: int = 2048,
+    R: int = 32,
+    gr: int = 64,
+):
+    """The persistent megakernel sharded over ``mesh``'s ``rows`` axis.
+
+    Each device renders the INTERLEAVED row set ``{d, d+n, d+2n, ...}`` —
+    the affine (stride, offset) row map rides the kernel's camera vector,
+    so every device generates exactly the rays the single-device render
+    would for its rows (bit-identical images, load-balanced rows).  The
+    scene tables are replicated; no collectives in the forward pass except
+    the traced-ray psum.  When ``H % n != 0`` the padded rows render
+    off-frame sky rays (counted in ``rays``; discarded from the image).
+    """
+    import dataclasses
+
+    from raytracing_tests_tpu.kernels.uber import (
+        _uber_call, make_accel2, pack_camera)
+
+    assert lights is None and cfg.shading == "bvh"
+    assert cfg.pallas_mode == "spheres" and scene.textures is None
+    H, W, S = cfg.height, cfg.width, cfg.spp
+    n = mesh.shape[ROWS_AXIS]
+    h = -(-H // n)
+    Hp = h * n
+    shard_cfg = dataclasses.replace(cfg, height=h)
+    B_shard = h * W * S
+    accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
+                        sort_origin=camera.position)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P()),
+        check_vma=False,
+    )
+    def block(accel_, camera_):
+        dev = jax.lax.axis_index(ROWS_AXIS)
+        cam = pack_camera(camera_, row_stride=float(n),
+                          row0=dev.astype(jnp.float32))
+        out, stat, _ = _uber_call(
+            accel_.otab, accel_.ftab3, accel_.gaabb, cam, shard_cfg,
+            B_shard, L, R, gr, False, full_height=H)
+        NB = -(-B_shard // (R * L))
+        o4 = out.reshape(4, R, NB, L).transpose(2, 1, 3, 0)
+        o4 = o4.reshape(NB * R * L, 4)[:B_shard]
+        colors = o4[:, :3].reshape(h, W, S, 3)
+        pt = o4[:, 3].reshape(h, W, S)
+        rays = jax.lax.psum(jnp.sum(stat[0]), ROWS_AXIS)
+        return colors, pt, rays
+
+    colors, depths, rays = block(accel, camera)
+    # device d's local row r is global row r*n + d: de-interleave.
+    colors = colors.reshape(n, h, W, S, 3).swapaxes(0, 1).reshape(Hp, W, S, 3)[:H]
+    depths = depths.reshape(n, h, W, S).swapaxes(0, 1).reshape(Hp, W, S)[:H]
+    out = finalize(colors, depths, cfg)
+    out["rays"] = rays
+    return out

@@ -63,3 +63,27 @@ def test_lane_chunked_matches_unchunked():
     out = render_jit(scene, cam, cfg_chunk)
     np.testing.assert_allclose(out["image"], ref["image"], atol=1e-6)
     np.testing.assert_allclose(out["depth"], ref["depth"], atol=1e-6)
+
+
+def test_uber_sharded_matches_single_device():
+    """Persistent kernel over the 8-device mesh == single-device persistent
+    kernel, bit-for-bit (identical in-kernel ray generation per global
+    row)."""
+    import numpy as np
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import RenderConfig
+    from raytracing_tests_tpu.parallel.render_sharded import render_uber_sharded
+    from raytracing_tests_tpu.scene import examples
+
+    scene, cam = examples.iow_final_scene(side=5)
+    cfg = RenderConfig(width=48, height=32, spp=2, max_bounces=4,
+                       intersector="pallas").for_scene(scene)
+    single = render_uber(scene, cam, cfg, L=256, R=4, gr=64)
+    mesh = make_mesh(8)
+    sharded = render_uber_sharded(scene, cam, cfg, mesh, L=256, R=4, gr=64)
+    np.testing.assert_allclose(
+        np.asarray(single["image"]), np.asarray(sharded["image"]), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(single["depth"]), np.asarray(sharded["depth"]), atol=1e-4)
+    assert int(single["rays"]) == int(sharded["rays"])
