@@ -42,7 +42,8 @@ def initialize_multihost(
     return jax.process_index()
 
 
-def measure_rays_per_s(scene, camera, cfg: RenderConfig, n_devices: int, iters: int = 3):
+def measure_rays_per_s(scene, camera, cfg: RenderConfig, n_devices: int,
+                       iters: int = 3, renderer: str = "queue"):
     """Wall-clock rays/s of the row-sharded renderer on an n-device mesh.
 
     Numerator = the renderer's own traced-ray counter (primary + secondary
@@ -50,20 +51,32 @@ def measure_rays_per_s(scene, camera, cfg: RenderConfig, n_devices: int, iters: 
     ``bench.py`` use — so absolute numbers here are comparable to the
     headline benchmark, and the bounce tree being identical across mesh
     sizes keeps scaling ratios exact.
+
+    ``renderer="uber"`` measures the flagship persistent megakernel via
+    ``render_uber_sharded`` (sphere-mode scenes) instead of the general
+    queue renderer.
     """
     mesh = make_mesh(n_devices)
-    out = render_sharded_jit(scene, camera, cfg, mesh)
+    if renderer == "uber":
+        from raytracing_tests_tpu.parallel.render_sharded import (
+            render_uber_sharded)
+
+        fn = lambda: render_uber_sharded(scene, camera, cfg, mesh)
+    else:
+        fn = lambda: render_sharded_jit(scene, camera, cfg, mesh)
+    out = fn()
     jax.block_until_ready(out)
     rays = int(out["rays"])
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = render_sharded_jit(scene, camera, cfg, mesh)
+        out = fn()
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     return rays / dt
 
 
-def scaling_report(scene, camera, cfg: RenderConfig, device_counts: Sequence[int]):
+def scaling_report(scene, camera, cfg: RenderConfig, device_counts: Sequence[int],
+                   renderer: str = "queue"):
     """Scaling table: rays/s and efficiency vs linear from the 1st entry.
 
     Returns a list of dict(devices, rays_per_s, speedup, efficiency).
@@ -71,7 +84,7 @@ def scaling_report(scene, camera, cfg: RenderConfig, device_counts: Sequence[int
     rows = []
     base = None
     for n in device_counts:
-        rps = measure_rays_per_s(scene, camera, cfg, n)
+        rps = measure_rays_per_s(scene, camera, cfg, n, renderer=renderer)
         if base is None:
             base = (n, rps)
         speedup = rps / base[1]
