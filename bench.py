@@ -39,8 +39,8 @@ def _make_fn(renderer, cfg, chunk):
         # qcap=3: a shallower in-VMEM LIFO is measurably faster (fewer
         # scratch rows per push/pop) and the headline scene's refraction
         # trees never exceed depth 3 — rays_dropped is asserted 0 below.
-        return lambda s, c, lt: render_uber(s, c, cfg, L=2048, R=96, gr=64,
-                                            qcap=3)
+        return lambda s, c, lt: render_uber(s, c, cfg, lights=lt, L=2048,
+                                            R=96, gr=64, qcap=3)
     if renderer == "megalanes":
         from raytracing_tests_tpu.ops.megalanes import render_megalanes
 
@@ -88,20 +88,21 @@ def time_config(scene, camera, cfg, renderer, chunk, lights=None, n_iters=3):
 
 def side_configs(chunk):
     """The other four BASELINE.json benchmark configs (16 spp keeps the
-    whole sweep to a few frames each; the headline stays 100 spp)."""
+    whole sweep to a few frames each; the headline stays 100 spp).
+    Each entry: (scene, camera, cfg, lights, renderer)."""
     mk = lambda scene, **kw: RenderConfig(
         width=800, height=450, spp=16, max_bounces=8, lane_chunk=chunk,
         intersector="pallas", **kw,
     ).for_scene(scene)
     out = {}
     s, c = examples.motion_blur_scene()
-    out["motion"] = (s, c, mk(s), None)
+    out["motion"] = (s, c, mk(s), None, "uber")
     s, c = examples.bvh_grid_scene(side=32)  # 1,025 objects, generic mode
-    out["bvh1k"] = (s, c, mk(s), None)
+    out["bvh1k"] = (s, c, mk(s), None, "uber")  # persistent generic kernel
     s, c = examples.texturing_scene()
-    out["texturing"] = (s, c, mk(s), None)
+    out["texturing"] = (s, c, mk(s), None, "queue")
     s, c = examples.lights_scene()
-    out["lights"] = (s, c, mk(s), extract_lights(s))
+    out["lights"] = (s, c, mk(s), extract_lights(s), "uber")
     return out
 
 
@@ -147,10 +148,10 @@ def main():
         "configs": {"iow-final": head},
     }
     if os.environ.get("BENCH_ALL") == "1" and not smoke:
-        for name, (s, c, scfg, lights) in side_configs(chunk).items():
+        for name, (s, c, scfg, lights, srend) in side_configs(chunk).items():
             try:
                 details["configs"][name] = time_config(
-                    s, c, scfg, "queue", chunk, lights=lights, n_iters=2)
+                    s, c, scfg, srend, chunk, lights=lights, n_iters=2)
             except Exception as e:  # record, keep the sweep going
                 details["configs"][name] = {"error": f"{type(e).__name__}: {e}"}
     with open("bench_details.json", "w") as f:

@@ -60,6 +60,9 @@ def _cmd_render(args):
         kw["intersector"] = "pallas"
     if args.wavefront:
         kw["wavefront"] = True
+    if args.uber:
+        kw["uber"] = True
+        kw["intersector"] = "pallas"
     if args.mesh:
         from raytracing_tests_tpu.parallel import make_mesh
 
@@ -200,6 +203,9 @@ def main(argv=None):
     pr.add_argument("--bvh", action="store_true", help="use the LBVH intersector")
     pr.add_argument("--pallas", action="store_true", help="use the Pallas sweep kernels")
     pr.add_argument("--wavefront", action="store_true", help="use the compacting wavefront renderer")
+    pr.add_argument("--uber", action="store_true",
+                    help="use the persistent megakernel (fastest; untextured "
+                    "bvh-shading scenes)")
     pr.add_argument("--mesh", type=int, help="shard over N devices")
     pr.add_argument("--out", default="render.png")
     pr.add_argument("--depth-out", help="also write normalized depth PNG")

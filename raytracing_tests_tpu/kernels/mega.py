@@ -33,6 +33,7 @@ from raytracing_tests_tpu.kernels.sweep2 import (
     BIG_T,
     DEFAULT_L,
     FT_CR, FT_CG, FT_CB, FT_MRI, FT_REFR, FT_REFL, FT_SRFR, FT_SRFL,
+    FT_EMIS,
     _gather_rows,
     _interpret,
     _ri_probe,
@@ -119,22 +120,129 @@ def trace_shade_block(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
         max_bounces=max_bounces, t_max=t_max, use_mxu=use_mxu)
 
 
+def _shadow_factor_k(otab_ref, gaabb_ref, fhi_ref, lights_ref,
+                     px, py, pz, nx, ny, nz, omt, sidx, did_hit, *,
+                     n_pad, n_groups, gr, has_motion, use_mxu, mode,
+                     spp, n_lights):
+    """In-kernel fraction of lights visible from the hit point — the
+    persistent-kernel shape of ``ops.render._shadow_factor`` (lights
+    glsl:604-660).  One occlusion sweep per light: the shadow ray aims at a
+    per-sample jitter point inside the light's AABB, the t limit is
+    center-distance + AABB diagonal, and the light counts as visible when
+    the nearest occluder is ANY emissive object (checked via a one-row
+    one-hot matmul against the emissive field — exact in bf16, 0/1 values).
+    ``lights_ref`` is SMEM (n_lights, 8): bb_min xyz, bb_max xyz, diag."""
+    import jax as _jax
+
+    L = px.shape[1]
+    sratio = sidx * (1.0 / spp)
+    sox = px + 1e-4 * nx
+    soy = py + 1e-4 * ny
+    soz = pz + 1e-4 * nz
+
+    def body(lit_sc, st_sc, so_sc):
+        lit_sc[:] = jnp.zeros((1, L), jnp.float32)
+        for l in range(n_lights):
+            mnx, mny, mnz = (lights_ref[l, 0], lights_ref[l, 1],
+                             lights_ref[l, 2])
+            mxx, mxy, mxz = (lights_ref[l, 3], lights_ref[l, 4],
+                             lights_ref[l, 5])
+            diag = lights_ref[l, 6]
+            tx = mnx + (mxx - mnx) * sratio
+            ty = mny + (mxy - mny) * sratio
+            tz = mnz + (mxz - mnz) * sratio
+            ddx = tx - sox
+            ddy = ty - soy
+            ddz = tz - soz
+            # Exact linalg.normalize semantics (v / sqrt, not rsqrt): the
+            # last-ulp difference flips binary shadow visibility on grazing
+            # rays, visibly diverging from the queue renderer.
+            dnrm = jnp.sqrt(
+                jnp.maximum(ddx * ddx + ddy * ddy + ddz * ddz, 1e-38))
+            ddx, ddy, ddz = ddx / dnrm, ddy / dnrm, ddz / dnrm
+            # Dead/non-hit lanes carry d = 0 (live-mask block culling).
+            ddx = jnp.where(did_hit, ddx, 0.0)
+            ddy = jnp.where(did_hit, ddy, 0.0)
+            ddz = jnp.where(did_hit, ddz, 0.0)
+            cx = (mnx + mxx) * 0.5
+            cy = (mny + mxy) * 0.5
+            cz = (mnz + mxz) * 0.5
+            ex = cx - sox
+            ey = cy - soy
+            ez = cz - soz
+            tlim = jnp.sqrt(
+                jnp.maximum(ex * ex + ey * ey + ez * ez, 0.0)) + diag
+            if mode == "spheres":
+                _sweep_loop(otab_ref, gaabb_ref, sox, soy, soz,
+                            ddx, ddy, ddz, omt, did_hit, tlim, st_sc, so_sc,
+                            None, None, n_groups=n_groups, gr=gr,
+                            has_motion=has_motion, use_mxu=use_mxu,
+                            with_edge=False)
+            else:
+                from raytracing_tests_tpu.kernels.sweep2g import _sweep_loop_g
+
+                _sweep_loop_g(otab_ref, gaabb_ref, sox, soy, soz,
+                              ddx, ddy, ddz, omt, did_hit, tlim, st_sc,
+                              so_sc, n_groups=n_groups, gr=gr,
+                              has_motion=has_motion)
+            obj_s = so_sc[:]
+            rid_full = _jax.lax.broadcasted_iota(jnp.int32, (n_pad, L), 0)
+            oh = (rid_full == obj_s).astype(jnp.bfloat16)
+            dn = (((1,), (0,)), ((), ()))
+            emis = _jax.lax.dot_general(
+                fhi_ref[FT_EMIS : FT_EMIS + 1], oh, dn,
+                preferred_element_type=jnp.float32)
+            vis = (obj_s >= 0) & (emis > 0.5)
+            lit_sc[:] = lit_sc[:] + jnp.where(vis, 1.0, 0.0)
+        return lit_sc[:]
+
+    lit = pl.run_scoped(
+        body,
+        lit_sc=pltpu.VMEM((1, L), jnp.float32),
+        st_sc=pltpu.VMEM((1, L), jnp.float32),
+        so_sc=pltpu.VMEM((1, L), jnp.int32),
+    )
+    return lit * (1.0 / n_lights)
+
+
 def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
                 ox, oy, oz, dx, dy, dz, omt, contrib, bounced, active, sidx,
                 t_best, obj_best, hit, bgr, bgg, bgb, *, n_pad, n_groups, gr,
                 has_motion, has_dielectrics, spp, max_bounces, t_max,
-                use_mxu):
+                use_mxu, mode: str = "spheres", lights_ref=None,
+                n_lights: int = 0):
     L = ox.shape[1]
     rows = _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best, n_pad, L)
-    t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine(
-        rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
+    if mode == "spheres":
+        t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine(
+            rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
+    else:
+        from raytracing_tests_tpu.kernels.sweep2g import _winner_refine_g
 
-    did_hit = hit
+        assert not has_dielectrics, (
+            "generic megakernel shading: RI probe not implemented")
+        t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine_g(
+            rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
+
+    # Emissive abort ("paint it white", lights glsl:662-666): the sample
+    # becomes pure white; the lane's remaining tree is dropped by the caller.
+    white = jnp.zeros((1, L), jnp.bool_)
+    if n_lights > 0:
+        white = hit & (rows[FT_EMIS : FT_EMIS + 1] > 0.5)
+    did_hit = hit & ~white
     missed = active & ~hit
     miss_c = jnp.where(missed, contrib, 0.0)
     add_r = miss_c * bgr
     add_g = miss_c * bgg
     add_b = miss_c * bgb
+
+    if n_lights > 0:
+        lit = _shadow_factor_k(
+            otab_ref, gaabb_ref, fhi_ref, lights_ref, px, py, pz,
+            nx, ny, nz, omt, sidx, did_hit, n_pad=n_pad,
+            n_groups=n_groups, gr=gr, has_motion=has_motion,
+            use_mxu=use_mxu, mode=mode, spp=spp, n_lights=n_lights)
+        contrib = jnp.where(did_hit, contrib * lit, contrib)
 
     mat_ri = rows[FT_MRI : FT_MRI + 1]
     refrv = rows[FT_REFR : FT_REFR + 1]
@@ -246,7 +354,7 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
         clx, cly, clz, omt, tmax_row, refl_contrib, bounced1, z6,
     ], axis=0)
     return (add_r, add_g, add_b, hit_t, refr16, refl16, spawn_refr,
-            spawn_refl)
+            spawn_refl, white)
 
 
 def _mega_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
@@ -260,7 +368,8 @@ def _mega_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
         active = lane >= 0
         sidx = (lane - (lane // spp) * spp).astype(jnp.float32)
         L = rows16.shape[1]
-        add_r, add_g, add_b, hit_t, refr16, refl16, spawn_refr, spawn_refl = (
+        (add_r, add_g, add_b, hit_t, refr16, refl16, spawn_refr, spawn_refl,
+         _white) = (
             trace_shade_block(
                 otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
                 rows16[0:1], rows16[1:2], rows16[2:3],

@@ -22,9 +22,13 @@ megakernel (``01_BoundingVolumeHierarchy/computeShaderSrc.glsl:675-705``):
   - the bounce loop is a ``lax.while_loop`` whose condition is "any lane
     active, any flush pending, or any round left".
 
-Scope (asserted by the driver): sphere-mode scene, 'bvh' shading,
-single-focus perspective camera, no aa_grid, no lights, no textures — the
-headline benchmark family.  ``ops.render`` remains the general path.
+Scope (asserted by the driver): 'bvh' shading, single-focus perspective
+camera, no aa_grid, no textures.  Both scene modes are served — the
+sphere-mode MXU sweep (``kernels/sweep2``) and the generic rotated
+ellipsoid/cuboid grouped sweep (``kernels/sweep2g``, non-dielectric) — and
+emissive lights run in-kernel (shadow-ray occlusion sweeps + the INW-04
+paint-it-white abort).  ``ops.render`` remains the general path (textures,
+materials shading, dielectric generic scenes).
 """
 
 from __future__ import annotations
@@ -59,12 +63,13 @@ CAM_LEN = 24  # padded
 
 def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                  n_pad, n_groups, gr, has_motion, has_dielectrics, Q,
-                 B_total, use_mxu, max_iters):
+                 B_total, use_mxu, max_iters, mode="spheres",
+                 n_lights=0):
     aspect = W / H
 
     def kernel(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref, cam_ref,
-               out_ref, stat_ref, cur_sc, meta_sc, q_sc, acc_sc, t_sc,
-               obj_sc, res_sc):
+               lights_ref, out_ref, stat_ref, cur_sc, meta_sc, q_sc, acc_sc,
+               t_sc, obj_sc, res_sc):
         L = cur_sc.shape[1]
         pid = pl.program_id(0)
         base = pid * (R * L)
@@ -189,11 +194,19 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             contrib = cur[8:9]
             a2 = dx * dx + dy * dy + dz * dz
             live = (a2 > 0.5) & act
-            _sweep_loop(otab_ref, gaabb_ref, cur[0:1], cur[1:2], cur[2:3],
-                        dx, dy, dz, cur[6:7], live, cur[7:8], t_sc, obj_sc,
-                        None, None, n_groups=n_groups, gr=gr,
-                        has_motion=has_motion, use_mxu=use_mxu,
-                        with_edge=False)
+            if mode == "spheres":
+                _sweep_loop(otab_ref, gaabb_ref, cur[0:1], cur[1:2],
+                            cur[2:3], dx, dy, dz, cur[6:7], live, cur[7:8],
+                            t_sc, obj_sc, None, None, n_groups=n_groups,
+                            gr=gr, has_motion=has_motion, use_mxu=use_mxu,
+                            with_edge=False)
+            else:
+                from raytracing_tests_tpu.kernels.sweep2g import _sweep_loop_g
+
+                _sweep_loop_g(otab_ref, gaabb_ref, cur[0:1], cur[1:2],
+                              cur[2:3], dx, dy, dz, cur[6:7], live,
+                              cur[7:8], t_sc, obj_sc, n_groups=n_groups,
+                              gr=gr, has_motion=has_motion)
             hit = (obj_sc[:] >= 0) & act
             tt_ = (dy + 1.0) * 0.5
             bgr = (1.0 - tt_) * bg_bottom[0] + tt_ * bg_top[0]
@@ -205,18 +218,20 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             # branch goes through pl.when and a results scratch.
             @pl.when(jnp.any(hit))
             def _():
-                (r_, g_, b_, t_, refr_, refl_, sr_, sl_) = _shade_hits(
+                (r_, g_, b_, t_, refr_, refl_, sr_, sl_, wh_) = _shade_hits(
                     otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
                     cur[0:1], cur[1:2], cur[2:3], dx, dy, dz, cur[6:7],
                     contrib, cur[9:10], act, sidx, t_sc[:], obj_sc[:], hit,
                     bgr, bgg, bgb, n_pad=n_pad, n_groups=n_groups, gr=gr,
                     has_motion=has_motion, has_dielectrics=has_dielectrics,
                     spp=spp, max_bounces=max_bounces, t_max=t_max,
-                    use_mxu=use_mxu)
+                    use_mxu=use_mxu, mode=mode, lights_ref=lights_ref,
+                    n_lights=n_lights)
                 res_sc[:] = jnp.concatenate([
                     r_, g_, b_, t_, refr_, refl_,
                     sr_.astype(jnp.float32), sl_.astype(jnp.float32),
-                    jnp.zeros((2, L), jnp.float32),
+                    wh_.astype(jnp.float32),
+                    jnp.zeros((1, L), jnp.float32),
                 ], axis=0)
 
             @pl.when(~jnp.any(hit))
@@ -234,9 +249,20 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             refl16 = res[20:36]
             spawn_refr = res[36:37] > 0.5
             spawn_refl = res[37:38] > 0.5
+            # Emissive abort: the whole SAMPLE becomes pure white and the
+            # lane's remaining tree (current ray + stacked siblings) drops.
+            white = (res[38:39] > 0.5) & act if n_lights > 0 else (
+                jnp.zeros((1, L), jnp.bool_))
             primary = act & (cur[9:10] == 0.0)
+            acc_r = acc_sc[0:1] + add_r
+            acc_g = acc_sc[1:2] + add_g
+            acc_b = acc_sc[2:3] + add_b
+            if n_lights > 0:
+                acc_r = jnp.where(white, 1.0, acc_r)
+                acc_g = jnp.where(white, 1.0, acc_g)
+                acc_b = jnp.where(white, 1.0, acc_b)
             acc_sc[:] = jnp.concatenate([
-                acc_sc[0:1] + add_r, acc_sc[1:2] + add_g, acc_sc[2:3] + add_b,
+                acc_r, acc_g, acc_b,
                 jnp.where(primary, hit_t, acc_sc[3:4]),
             ], axis=0)
             stat_ref[0:1] = stat_ref[0:1] + act.astype(jnp.int32)
@@ -259,7 +285,9 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                                     q_sc[:])
 
             qs = qs + do_push.astype(jnp.int32)
-            need_pop = act & ~spawn_refl & ~spawn_refr
+            if n_lights > 0:
+                qs = jnp.where(white, 0, qs)  # drop stacked siblings
+            need_pop = act & ~spawn_refl & ~spawn_refr & ~white
             do_pop = need_pop & (qs > 0)
             qtop = qs - 1
             qv = q_sc[:]
@@ -296,6 +324,25 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
     return kernel
 
 
+def pack_lights(lights):
+    """Lights SoA -> ((n_lights, 8) f32 SMEM rows [bb_min xyz, bb_max xyz,
+    diag, 0], n_lights).  Host-side (concrete mask); padding rows trimmed."""
+    if lights is None:
+        return None, 0
+    mask = np.asarray(lights.mask)
+    idx = np.nonzero(mask)[0]
+    if idx.size == 0:
+        return None, 0
+    mn = np.asarray(lights.bb_min)[idx]
+    mx = np.asarray(lights.bb_max)[idx]
+    diag = np.sqrt(((mx - mn) ** 2).sum(axis=1))
+    rows = np.zeros((idx.size, 8), np.float32)
+    rows[:, 0:3] = mn
+    rows[:, 3:6] = mx
+    rows[:, 6] = diag
+    return jnp.asarray(rows), int(idx.size)
+
+
 def pack_camera(camera, row_stride=1.0, row0=0.0):
     """Camera pytree -> (1, CAM_LEN) f32 scalar vector (see CAM_* layout)."""
     d = camera.direction
@@ -316,32 +363,41 @@ def pack_camera(camera, row_stride=1.0, row0=0.0):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "B", "L", "R", "gr", "use_mxu", "full_height"))
+    static_argnames=("cfg", "B", "L", "R", "gr", "use_mxu", "full_height",
+                     "n_lights"))
 def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
-               gr: int, use_mxu: bool, full_height: int = 0):
+               gr: int, use_mxu: bool, full_height: int = 0, lts=None,
+               n_lights: int = 0):
     fhi, fmid, flo = ftab3
     n_pad = otab.shape[0]
     n_groups = n_pad // gr
     NB = -(-B // (R * L))
     Q = cfg.queue_capacity
     max_iters = R * cfg.pops + 64
+    if lts is None:
+        lts = jnp.zeros((1, 8), jnp.float32)
+    # Lights scenes use a black background (lights glsl:23-30).
+    zero3 = (0.0, 0.0, 0.0)
     kernel = _uber_kernel(
         R=R, W=cfg.width, H=full_height or cfg.height, spp=cfg.spp,
         max_bounces=cfg.max_bounces, t_max=cfg.t_max,
-        bg_bottom=cfg.background[0], bg_top=cfg.background[1],
+        bg_bottom=zero3 if n_lights else cfg.background[0],
+        bg_top=zero3 if n_lights else cfg.background[1],
         n_pad=n_pad, n_groups=n_groups, gr=gr, has_motion=cfg.has_motion,
         has_dielectrics=cfg.has_dielectrics, Q=Q, B_total=B,
-        use_mxu=use_mxu, max_iters=max_iters)
+        use_mxu=use_mxu, max_iters=max_iters, mode=cfg.pallas_mode,
+        n_lights=n_lights)
     lane_spec = lambda rows: pl.BlockSpec((rows, L), lambda i: (0, i),
                                           memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
+    smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.SMEM)
     out, stat = pl.pallas_call(
         kernel,
         grid=(NB,),
         in_specs=[full(otab), full(fhi), full(fmid), full(flo), full(gaabb),
-                  pl.BlockSpec(cam.shape, lambda i: (0, 0),
-                               memory_space=pltpu.SMEM)],
+                  smem(cam), smem(lts)],
         out_specs=(lane_spec(R * 4), lane_spec(2)),
         out_shape=(
             jax.ShapeDtypeStruct((R * 4, NB * L), jnp.float32),
@@ -357,7 +413,7 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
             pltpu.VMEM((40, L), jnp.float32),  # shade results
         ],
         interpret=_interpret(),
-    )(otab, fhi, fmid, flo, gaabb, cam)
+    )(otab, fhi, fmid, flo, gaabb, cam, lts)
     return out, stat, NB
 
 
@@ -376,20 +432,31 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     if qcap is not None and qcap != cfg.queue_capacity:
         cfg = dataclasses.replace(cfg, queue_capacity=qcap)
 
-    assert lights is None, "uber path: no emissive lights (use queue)"
     assert cfg.shading == "bvh", "uber path implements INW shading"
-    assert cfg.pallas_mode == "spheres", "uber path is sphere-mode"
     assert scene.textures is None, "uber path is untextured"
     assert not cfg.aa_grid, "uber path: DOF sampling only (no aa_grid)"
     assert not cfg.show_normals
     assert camera.focus_dist.shape[0] == 1, "uber path: single focus"
+    if cfg.pallas_mode != "spheres":
+        # Generic mode: rotated ellipsoids/cuboids via the grouped generic
+        # sweep (sweep2g); the RI containment probe has no generic form yet.
+        assert not cfg.has_dielectrics, (
+            "uber generic mode: dielectric scenes use the queue renderer")
+    lts, n_lights = pack_lights(lights)
     H, W, S = cfg.height, cfg.width, cfg.spp
     B = H * W * S
-    accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
-                        sort_origin=camera.position)
+    if cfg.pallas_mode == "spheres":
+        accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
+                            sort_origin=camera.position)
+    else:
+        from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
+
+        accel = make_accel2g(scene, gr=gr, has_motion=cfg.has_motion,
+                             sort_origin=camera.position)
     cam = pack_camera(camera)
     out, stat, NB = _uber_call(accel.otab, accel.ftab3, accel.gaabb, cam,
-                               cfg, B, L, R, gr, use_mxu)
+                               cfg, B, L, R, gr, use_mxu, lts=lts,
+                               n_lights=n_lights)
     o4 = out.reshape(4, R, NB, L).transpose(2, 1, 3, 0).reshape(NB * R * L, 4)
     o4 = o4[:B]
     colors3 = o4[:, :3].reshape(H, W, S, 3)

@@ -43,6 +43,7 @@ def _rt_run(scene_fn, defaults: dict, lights: bool = False):
         lane_chunk: Optional[int] = None,
         mesh=None,
         wavefront: bool = False,
+        uber: bool = False,
         **scene_kw,
     ):
         scene, camera = scene_fn(**scene_kw)
@@ -58,7 +59,16 @@ def _rt_run(scene_fn, defaults: dict, lights: bool = False):
         )
         cfg = cfg.for_scene(scene)
         lt = extract_lights(scene) if lights else None
-        if mesh is not None:
+        if uber and mesh is not None:
+            from raytracing_tests_tpu.parallel.render_sharded import (
+                render_uber_sharded)
+
+            out = render_uber_sharded(scene, camera, cfg, mesh, lt)
+        elif uber:
+            from raytracing_tests_tpu.kernels.uber import render_uber
+
+            out = render_uber(scene, camera, cfg, lt)
+        elif mesh is not None:
             from raytracing_tests_tpu.parallel import render_sharded_jit
 
             out = render_sharded_jit(scene, camera, cfg, mesh, lt)

@@ -118,33 +118,45 @@ def render_uber_sharded(
     import dataclasses
 
     from raytracing_tests_tpu.kernels.uber import (
-        _uber_call, make_accel2, pack_camera)
+        _uber_call, make_accel2, pack_camera, pack_lights)
 
-    assert lights is None and cfg.shading == "bvh"
-    assert cfg.pallas_mode == "spheres" and scene.textures is None
+    assert cfg.shading == "bvh"
+    assert scene.textures is None
+    lts, n_lights = pack_lights(lights)
     H, W, S = cfg.height, cfg.width, cfg.spp
     n = mesh.shape[ROWS_AXIS]
     h = -(-H // n)
     Hp = h * n
     shard_cfg = dataclasses.replace(cfg, height=h)
     B_shard = h * W * S
-    accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
-                        sort_origin=camera.position)
+    if cfg.pallas_mode == "spheres":
+        accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
+                            sort_origin=camera.position)
+    else:
+        from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
+
+        assert not cfg.has_dielectrics
+        accel = make_accel2g(scene, gr=gr, has_motion=cfg.has_motion,
+                             sort_origin=camera.position)
+
+    if lts is None:
+        lts = jnp.zeros((1, 8), jnp.float32)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P(), P(), P()),
         out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P()),
         check_vma=False,
     )
-    def block(accel_, camera_):
+    def block(accel_, camera_, lts_):
         dev = jax.lax.axis_index(ROWS_AXIS)
         cam = pack_camera(camera_, row_stride=float(n),
                           row0=dev.astype(jnp.float32))
         out, stat, _ = _uber_call(
             accel_.otab, accel_.ftab3, accel_.gaabb, cam, shard_cfg,
-            B_shard, L, R, gr, False, full_height=H)
+            B_shard, L, R, gr, False, full_height=H, lts=lts_,
+            n_lights=n_lights)
         NB = -(-B_shard // (R * L))
         o4 = out.reshape(4, R, NB, L).transpose(2, 1, 3, 0)
         o4 = o4.reshape(NB * R * L, 4)[:B_shard]
@@ -153,7 +165,7 @@ def render_uber_sharded(
         rays = jax.lax.psum(jnp.sum(stat[0]), ROWS_AXIS)
         return colors, pt, rays
 
-    colors, depths, rays = block(accel, camera)
+    colors, depths, rays = block(accel, camera, lts)
     # device d's local row r is global row r*n + d: de-interleave.
     colors = colors.reshape(n, h, W, S, 3).swapaxes(0, 1).reshape(Hp, W, S, 3)[:H]
     depths = depths.reshape(n, h, W, S).swapaxes(0, 1).reshape(Hp, W, S)[:H]

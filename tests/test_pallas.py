@@ -250,3 +250,100 @@ def test_uber_matches_queue_statistically():
     rq, ru = int(oq["rays"]), int(ou["rays"])
     assert abs(rq - ru) / rq < 0.02, (rq, ru)
     assert int(ou["rays_dropped"]) == 0
+
+
+def test_uber_generic_matches_queue():
+    """Persistent kernel in GENERIC mode (rotated cuboids + spheres, the
+    INW-01 R-grid family) vs the queue renderer.  Same statistical bar as
+    the sphere-mode test (in-kernel raygen differs by f32 rounding)."""
+    import jax
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import render_stats
+
+    scene, cam = examples.bvh_grid_scene(side=5)
+    cfg = RenderConfig(
+        width=48, height=32, spp=4, max_bounces=5, intersector="pallas"
+    ).for_scene(scene)
+    assert cfg.pallas_mode == "generic"
+    oq = jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, cam)
+    ou = render_uber(scene, cam, cfg, L=256, R=8, gr=32)
+    iq, iu = np.asarray(oq["image"]), np.asarray(ou["image"])
+    assert abs(float(iq.mean()) - float(iu.mean())) < 5e-3
+    assert (np.abs(iq - iu).max(axis=-1) > 0.05).mean() < 0.03
+    dq = np.abs(np.asarray(oq["depth"]) - np.asarray(ou["depth"]))
+    assert (dq > 1e-2).mean() < 0.01
+    rq, ru = int(oq["rays"]), int(ou["rays"])
+    assert abs(rq - ru) / rq < 0.02, (rq, ru)
+    assert int(ou["rays_dropped"]) == 0
+
+
+def test_uber_generic_anisotropic_rotated():
+    """Generic uber: anisotropic rotated ellipsoids exercise the full
+    local-frame transform + ellipsoid normal path (not just cuboids)."""
+    import jax
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import render_stats
+    from raytracing_tests_tpu.scene.types import Camera, ELLIPSOID, SceneBuilder
+
+    b = SceneBuilder()
+    for i in range(6):
+        x = (i - 2.5) * 1.2
+        if i % 2 == 0:
+            b.add((x, 0.0, -4.0), (0.5, 0.3, 0.4), ELLIPSOID,
+                  rotation_deg=(20.0, 35.0 * i, 10.0), color=(0.8, 0.4, 0.3),
+                  reflectivity=0.8, scatter_reflect=0.3)
+        else:
+            b.add_box((x, 0.2, -5.0), (0.6, 0.9, 0.5),
+                      rotation_deg=(0.0, 25.0 * i, 15.0),
+                      color=(0.3, 0.6, 0.8), reflectivity=0.9,
+                      scatter_reflect=0.1)
+    b.add_sphere((0.0, -100.6, -4.0), 100.0, color=(0.6, 0.6, 0.6),
+                 reflectivity=0.6, scatter_reflect=0.8)
+    scene = b.build()
+    cam = Camera.make((0.0, 0.6, 1.0), (0.0, -0.15, -1.0), fov_y_deg=55.0,
+                      focus_dist=5.0)
+    cfg = RenderConfig(width=48, height=32, spp=4, max_bounces=6,
+                       intersector="pallas").for_scene(scene)
+    assert cfg.pallas_mode == "generic"
+    oq = jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, cam)
+    ou = render_uber(scene, cam, cfg, L=256, R=8, gr=16)
+    iq, iu = np.asarray(oq["image"]), np.asarray(ou["image"])
+    assert abs(float(iq.mean()) - float(iu.mean())) < 5e-3
+    assert (np.abs(iq - iu).max(axis=-1) > 0.05).mean() < 0.03
+    assert int(ou["rays_dropped"]) == 0
+    assert np.isnan(iu).sum() == 0
+
+
+def test_uber_lights_matches_queue_statistically():
+    """Persistent kernel with emissive lights (INW-04 semantics: black
+    background, shadow rays toward per-sample light-AABB points, emissive
+    abort paints the sample white) vs the queue renderer.
+
+    Binary shadow visibility flips on rays that graze the light's
+    conservative AABB when the direction normalize differs in the last ulp
+    (XLA contextually rewrites x/sqrt(y) to x*rsqrt(y)), so the assertion
+    is statistical: means, row-band means, depth, and ray counts agree."""
+    import jax
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import render_stats
+
+    scene, cam = examples.lights_scene()
+    lights = extract_lights(scene)
+    cfg = RenderConfig(width=48, height=32, spp=8, max_bounces=5,
+                       intersector="pallas").for_scene(scene)
+    oq = jax.jit(lambda s, c, lt: render_stats(s, c, cfg, lt))(
+        scene, cam, lights)
+    ou = render_uber(scene, cam, cfg, lights=lights, L=256, R=8, gr=16)
+    iq, iu = np.asarray(oq["image"]), np.asarray(ou["image"])
+    assert abs(float(iq.mean()) - float(iu.mean())) < 5e-3
+    band = np.abs(iq.mean(axis=(1, 2)) - iu.mean(axis=(1, 2)))
+    assert band.max() < 0.05, band.max()
+    dq = np.abs(np.asarray(oq["depth"]) - np.asarray(ou["depth"]))
+    assert (dq > 1e-2).mean() < 0.01
+    rq, ru = int(oq["rays"]), int(ou["rays"])
+    assert abs(rq - ru) / rq < 0.02, (rq, ru)
+    assert int(ou["rays_dropped"]) == 0
+    assert np.isnan(iu).sum() == 0
