@@ -219,8 +219,6 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
     else:
         from raytracing_tests_tpu.kernels.sweep2g import _winner_refine_g
 
-        assert not has_dielectrics, (
-            "generic megakernel shading: RI probe not implemented")
         t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine_g(
             rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
 
@@ -257,10 +255,18 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
         # Only dielectric winners / interior hits consume sur_ri; skipped
         # lanes read the neutral 1.0.
         need = did_hit & (inner | (refrv > 0.002))
-        sur_ri = _ri_probe(
-            otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
-            pz + 1e-3 * nz, omt, n_groups=n_groups, gr=gr,
-            has_motion=has_motion, use_mxu=use_mxu, need=need)
+        if mode == "spheres":
+            sur_ri = _ri_probe(
+                otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
+                pz + 1e-3 * nz, omt, n_groups=n_groups, gr=gr,
+                has_motion=has_motion, use_mxu=use_mxu, need=need)
+        else:
+            from raytracing_tests_tpu.kernels.sweep2g import _ri_probe_g
+
+            sur_ri = _ri_probe_g(
+                otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
+                pz + 1e-3 * nz, omt, n_groups=n_groups, gr=gr,
+                has_motion=has_motion, need=need)
     else:
         sur_ri = jnp.ones((1, L), jnp.float32)
 

@@ -50,7 +50,7 @@ GO_DPX, GO_DPY, GO_DPZ = 3, 4, 5
     GO_R00, GO_R01, GO_R02, GO_R10, GO_R11, GO_R12, GO_R20, GO_R21, GO_R22,
 ) = range(6, 15)
 GO_SX, GO_SY, GO_SZ = 15, 16, 17
-GO_TYPE, GO_VALID = 18, 19
+GO_TYPE, GO_VALID, GO_RI = 18, 19, 20
 
 # Generic fields table: sweep2's FT_* material rows (0..18) + the winner
 # geometry needed by the per-lane refine: rotation, scale, type.
@@ -84,6 +84,7 @@ def pack_tables_g(scene: Scene, order, n_pad: int):
     otab = otab.at[:n, GO_SX : GO_SZ + 1].set(sc)
     otab = otab.at[:n, GO_TYPE].set(s["obj_type"].astype(jnp.float32))
     otab = otab.at[:n, GO_VALID].set(valid.astype(jnp.float32))
+    otab = otab.at[:n, GO_RI].set(s["refractive_index"])
 
     frows = [
         c[:, 0], c[:, 1], c[:, 2],
@@ -301,6 +302,62 @@ def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
             better = gmin < t_sc[:]
             t_sc[:] = jnp.where(better, gmin, t_sc[:])
             obj_sc[:] = jnp.where(better, gobj, obj_sc[:])
+
+
+def _ri_probe_g(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
+                has_motion, need=None):
+    """Surrounding-RI containment sum at probe point q, generic mode: the
+    rotated point-in-primitive test (local = R^T(q - c + omt*dp) / s;
+    ellipsoid |local|^2 <= 1, cuboid all |local| <= 0.5 — division like
+    the v1 RI kernel, sweep.py:_ri_kernel generic branch).  Groups whose
+    AABB contains no needed probe point are skipped, the same culling as
+    ``sweep2._ri_probe``."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = qx.shape[1]
+
+    def body(acc_sc, cnt_sc):
+        acc_sc[:] = jnp.zeros((1, L), jnp.float32)
+        cnt_sc[:] = jnp.zeros((1, L), jnp.float32)
+        for g in range(n_groups):
+            pin = ((qx >= gaabb_ref[g, 0]) & (qx <= gaabb_ref[g, 3])
+                   & (qy >= gaabb_ref[g, 1]) & (qy <= gaabb_ref[g, 4])
+                   & (qz >= gaabb_ref[g, 2]) & (qz <= gaabb_ref[g, 5]))
+            if need is not None:
+                pin = pin & need
+
+            @pl.when(jnp.any(pin))
+            def _(g=g):
+                sl = slice(g * gr, (g + 1) * gr)
+                lox, loy, loz, _, _, _ = _local_frame(
+                    otab_ref, sl, qx, qy, qz,
+                    jnp.zeros((1, L), jnp.float32),
+                    jnp.zeros((1, L), jnp.float32),
+                    jnp.zeros((1, L), jnp.float32), omt, has_motion)
+                sx = otab_ref[sl, GO_SX : GO_SX + 1]
+                sy = otab_ref[sl, GO_SY : GO_SY + 1]
+                sz = otab_ref[sl, GO_SZ : GO_SZ + 1]
+                ex, ey, ez = lox / sx, loy / sy, loz / sz
+                in_e = ex * ex + ey * ey + ez * ez <= 1.0
+                in_c = ((jnp.abs(ex) <= 0.5) & (jnp.abs(ey) <= 0.5)
+                        & (jnp.abs(ez) <= 0.5))
+                typ = otab_ref[sl, GO_TYPE : GO_TYPE + 1]
+                inside = (jnp.where(typ == _ELL, in_e,
+                                    (typ == float(geometry.CUBOID)) & in_c)
+                          & (otab_ref[sl, GO_VALID : GO_VALID + 1] > 0.0))
+                ri_col = otab_ref[sl, GO_RI : GO_RI + 1]
+                acc_sc[:] = acc_sc[:] + jnp.sum(
+                    jnp.where(inside, ri_col, 0.0), axis=0, keepdims=True)
+                cnt_sc[:] = cnt_sc[:] + jnp.sum(
+                    inside.astype(jnp.float32), axis=0, keepdims=True)
+        return acc_sc[:], cnt_sc[:]
+
+    acc, cnt = pl.run_scoped(
+        body,
+        acc_sc=pltpu.VMEM((1, L), jnp.float32),
+        cnt_sc=pltpu.VMEM((1, L), jnp.float32),
+    )
+    return jnp.where(acc > 1.0, acc / jnp.maximum(cnt, 1.0), 1.0)
 
 
 def _winner_refine_g(rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit,

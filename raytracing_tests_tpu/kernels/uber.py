@@ -437,11 +437,6 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     assert not cfg.aa_grid, "uber path: DOF sampling only (no aa_grid)"
     assert not cfg.show_normals
     assert camera.focus_dist.shape[0] == 1, "uber path: single focus"
-    if cfg.pallas_mode != "spheres":
-        # Generic mode: rotated ellipsoids/cuboids via the grouped generic
-        # sweep (sweep2g); the RI containment probe has no generic form yet.
-        assert not cfg.has_dielectrics, (
-            "uber generic mode: dielectric scenes use the queue renderer")
     lts, n_lights = pack_lights(lights)
     H, W, S = cfg.height, cfg.width, cfg.spp
     B = H * W * S

@@ -135,7 +135,6 @@ def render_uber_sharded(
     else:
         from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
 
-        assert not cfg.has_dielectrics
         accel = make_accel2g(scene, gr=gr, has_motion=cfg.has_motion,
                              sort_origin=camera.position)
 

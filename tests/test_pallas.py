@@ -347,3 +347,43 @@ def test_uber_lights_matches_queue_statistically():
     assert abs(rq - ru) / rq < 0.02, (rq, ru)
     assert int(ou["rays_dropped"]) == 0
     assert np.isnan(iu).sum() == 0
+
+
+def test_uber_generic_dielectric_matches_queue():
+    """Generic uber with DIELECTRICS: the rotated point-in-primitive
+    surrounding-RI probe (sweep2g._ri_probe_g) must reproduce the queue
+    renderer's refraction chain (medium-RI transitions, TIR)."""
+    import jax
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import render_stats
+    from raytracing_tests_tpu.scene.types import Camera, ELLIPSOID, SceneBuilder
+
+    b = SceneBuilder()
+    b.add((0.0, 0.0, -3.5), (0.6, 0.4, 0.5), ELLIPSOID,
+          rotation_deg=(10.0, 30.0, 0.0), color=(1.0, 1.0, 1.0),
+          refractive_index=1.5, refractivity=0.9, reflectivity=0.1)
+    b.add_box((-1.3, 0.0, -4.0), (0.6, 0.8, 0.6),
+              rotation_deg=(0.0, 40.0, 0.0), color=(0.3, 0.6, 0.8),
+              reflectivity=0.9, scatter_reflect=0.2)
+    b.add_box((1.3, -0.1, -4.2), (0.7, 0.6, 0.7),
+              rotation_deg=(0.0, 70.0, 10.0), color=(0.8, 0.5, 0.3),
+              reflectivity=0.9, scatter_reflect=0.2)
+    b.add_sphere((0.0, -100.6, -4.0), 100.0, color=(0.6, 0.65, 0.6),
+                 reflectivity=0.7, scatter_reflect=0.9)
+    scene = b.build()
+    cam = Camera.make((0.0, 0.4, 0.8), (0.0, -0.1, -1.0), fov_y_deg=55.0,
+                      focus_dist=4.2)
+    cfg = RenderConfig(width=48, height=32, spp=4, max_bounces=6,
+                       intersector="pallas").for_scene(scene)
+    assert cfg.pallas_mode == "generic" and cfg.has_dielectrics
+    import jax as _jax
+    oq = _jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, cam)
+    ou = render_uber(scene, cam, cfg, L=256, R=8, gr=16)
+    iq, iu = np.asarray(oq["image"]), np.asarray(ou["image"])
+    assert abs(float(iq.mean()) - float(iu.mean())) < 5e-3
+    assert (np.abs(iq - iu).max(axis=-1) > 0.05).mean() < 0.03
+    assert int(oq["rays"]) == int(ou["rays"]) or (
+        abs(int(oq["rays"]) - int(ou["rays"])) / int(oq["rays"]) < 0.02)
+    assert int(ou["rays_dropped"]) == 0
+    assert np.isnan(iu).sum() == 0
