@@ -324,6 +324,16 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
     return kernel
 
 
+def _assert_perspective(camera):
+    """The in-kernel raygen implements the perspective path only
+    (orthographic cameras take the queue renderer).  Trace-safe: skipped
+    when the camera is a tracer (the check belongs to concrete callers)."""
+    oh = camera.ortho_height
+    if not isinstance(oh, jax.core.Tracer):
+        assert float(oh) == 0.0, (
+            "uber path: perspective raygen only (orthographic -> queue)")
+
+
 def pack_lights(lights):
     """Lights SoA -> ((n_lights, 8) f32 SMEM rows [bb_min xyz, bb_max xyz,
     diag, 0], n_lights).  Host-side (concrete mask); padding rows trimmed."""
@@ -437,6 +447,7 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     assert not cfg.aa_grid, "uber path: DOF sampling only (no aa_grid)"
     assert not cfg.show_normals
     assert camera.focus_dist.shape[0] == 1, "uber path: single focus"
+    _assert_perspective(camera)
     lts, n_lights = pack_lights(lights)
     H, W, S = cfg.height, cfg.width, cfg.spp
     B = H * W * S

@@ -118,10 +118,12 @@ def render_uber_sharded(
     import dataclasses
 
     from raytracing_tests_tpu.kernels.uber import (
-        _uber_call, make_accel2, pack_camera, pack_lights)
+        _assert_perspective, _uber_call, make_accel2, pack_camera,
+        pack_lights)
 
     assert cfg.shading == "bvh"
     assert scene.textures is None
+    _assert_perspective(camera)
     lts, n_lights = pack_lights(lights)
     H, W, S = cfg.height, cfg.width, cfg.spp
     n = mesh.shape[ROWS_AXIS]

@@ -1,33 +1,17 @@
 #!/usr/bin/env python
 """On-chip tuning sweep for the round-2b persistent-kernel coverage:
-headline sanity (qcap3), generic bvh1k (L/R/gr), lights, motion.
-
-Run on the real TPU; each run prints Mrays/s from the renderer's own
-traced-ray counter with the dropped-ray count (must be 0)."""
-import time
+headline sanity (qcap3), generic bvh1k (L/R/gr), lights, motion."""
+import os
+import sys
 
 import jax
-import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+from _bench_util import run
 
 from raytracing_tests_tpu.kernels.uber import render_uber
 from raytracing_tests_tpu.ops.render import RenderConfig, extract_lights
 from raytracing_tests_tpu.scene import examples
-
-
-def run(tag, scene, cam, cfg, lights=None, n=3, **kw):
-    f = lambda: render_uber(scene, cam, cfg, lights=lights, **kw)
-    out = f()
-    jax.block_until_ready(out["image"])
-    rays = int(out["rays"])
-    drop = int(out["rays_dropped"])
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = f()
-    jax.block_until_ready(out["image"])
-    dt = (time.perf_counter() - t0) / n
-    print(f"{tag}: {dt:.3f}s rays={rays} drop={drop} "
-          f"mean={float(np.asarray(out['image']).mean()):.4f} "
-          f"-> {rays/dt/1e6:.1f} Mrays/s", flush=True)
 
 
 def main():
@@ -37,7 +21,8 @@ def main():
     s, c = examples.iow_final_scene()
     cfg = RenderConfig(width=800, height=450, spp=100, max_bounces=8,
                        intersector="pallas").for_scene(s)
-    run("headline R96 gr64 q3", s, c, cfg, L=2048, R=96, gr=64, qcap=3)
+    run("headline R96 gr64 q3",
+        lambda: render_uber(s, c, cfg, L=2048, R=96, gr=64, qcap=3))
 
     # Generic 1k-object grid (the bvh1k bench config), parameter scan.
     s, c = examples.bvh_grid_scene(side=32)
@@ -45,21 +30,24 @@ def main():
                        intersector="pallas").for_scene(s)
     for L, R, gr in ((2048, 96, 64), (2048, 96, 128), (2048, 48, 64),
                      (1024, 96, 64)):
-        run(f"bvh1k L{L} R{R} gr{gr}", s, c, cfg, n=2, L=L, R=R, gr=gr,
-            qcap=3)
+        run(f"bvh1k L{L} R{R} gr{gr}",
+            lambda L=L, R=R, gr=gr: render_uber(s, c, cfg, L=L, R=R, gr=gr,
+                                                qcap=3), n=2)
 
     # Lights (Cornell) and motion configs.
     s, c = examples.lights_scene()
     cfg = RenderConfig(width=800, height=450, spp=16, max_bounces=8,
                        intersector="pallas").for_scene(s)
     lt = extract_lights(s)
-    run("lights R96 gr64", s, c, cfg, lights=lt, n=2, L=2048, R=96, gr=64,
-        qcap=3)
+    run("lights R96 gr64",
+        lambda: render_uber(s, c, cfg, lights=lt, L=2048, R=96, gr=64,
+                            qcap=3), n=2)
 
     s, c = examples.motion_blur_scene()
     cfg = RenderConfig(width=800, height=450, spp=16, max_bounces=8,
                        intersector="pallas").for_scene(s)
-    run("motion R96 gr64", s, c, cfg, n=2, L=2048, R=96, gr=64, qcap=3)
+    run("motion R96 gr64",
+        lambda: render_uber(s, c, cfg, L=2048, R=96, gr=64, qcap=3), n=2)
 
 
 if __name__ == "__main__":
