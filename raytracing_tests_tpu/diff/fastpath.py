@@ -34,12 +34,15 @@ from raytracing_tests_tpu.ops.intersect import Hit
 
 @jax.tree_util.register_pytree_node_class
 class DiffAccel:
-    """Accel2 whose tables are detached; marks the differentiable path."""
+    """Detached accel (sphere-mode ``Accel2`` or generic ``Accel2G``);
+    marks the differentiable path."""
 
-    def __init__(self, inner: Accel2):
+    def __init__(self, inner):
         self.inner = inner
 
-    mode = "spheres"
+    @property
+    def mode(self):
+        return self.inner.mode
 
     def tree_flatten(self):
         return (self.inner,), ()
@@ -49,15 +52,27 @@ class DiffAccel:
         return cls(leaves[0])
 
 
-def make_diff_accel(scene, has_motion: bool = True) -> DiffAccel:
+def make_diff_accel(scene, has_motion: bool = True,
+                    mode: str = "spheres") -> DiffAccel:
     detached = jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
-    return DiffAccel(make_accel2(detached, has_motion=has_motion))
+    if mode == "spheres":
+        return DiffAccel(make_accel2(detached, has_motion=has_motion))
+    from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
+
+    return DiffAccel(make_accel2g(detached, has_motion=has_motion))
 
 
-def _winner(accel: Accel2, o, d, time_ratio, t_limit):
+def _winner(accel, o, d, time_ratio, t_limit):
     """Original-scene index of the nearest hit (detached, Pallas-fast)."""
     sg = jax.lax.stop_gradient
-    _, obj_sorted = sweep2_nearest(accel, sg(o), sg(d), sg(time_ratio), sg(t_limit))
+    if accel.mode == "spheres":
+        _, obj_sorted = sweep2_nearest(
+            accel, sg(o), sg(d), sg(time_ratio), sg(t_limit))
+    else:
+        from raytracing_tests_tpu.kernels.sweep2g import sweep2g_nearest
+
+        _, obj_sorted = sweep2g_nearest(
+            accel, sg(o), sg(d), sg(time_ratio), sg(t_limit))
     return jnp.where(obj_sorted >= 0, accel.perm[jnp.maximum(obj_sorted, 0)], -1)
 
 
@@ -80,6 +95,10 @@ def intersect_diff(accel: DiffAccel, scene, o, d, time_ratio, t_limit,
     """
     sg = jax.lax.stop_gradient
     if soft > 0.0:
+        assert accel.mode == "spheres", (
+            "soft_edges estimator is sphere-mode only (the silhouette "
+            "metric is perp-distance/radius); generic scenes train with "
+            "hard winners or the dense sweep")
         _, obj_sorted, edge_sorted = sweep2_nearest_edge(
             accel.inner, sg(o), sg(d), sg(time_ratio), sg(t_limit))
         perm = accel.inner.perm

@@ -36,16 +36,19 @@ def render_loss(
     lights: Optional[Lights] = None,
 ):
     """Mean-squared pixel error of the (possibly sharded) render vs target."""
-    if cfg.intersector == "pallas" and cfg.pallas_mode == "spheres":
+    if cfg.intersector == "pallas" and (
+            cfg.pallas_mode == "spheres" or cfg.soft_edges == 0.0):
         # Fast gradient path: detached Pallas winner-finding + closed-form
-        # recompute of the winner's hit (diff/fastpath.py).  early_exit off:
-        # while_loop is not reverse-differentiable, the scan bounce loop is.
+        # recompute of the winner's hit (diff/fastpath.py) — both scene
+        # modes; the edge-aware soft-silhouette estimator is sphere-only,
+        # so generic + soft_edges falls through to the dense sweep below.
+        # early_exit off: while_loop is not reverse-differentiable, the
+        # scan bounce loop is.
         cfg = dataclasses.replace(cfg, early_exit=False, diff_mode=True)
     elif cfg.early_exit or cfg.intersector in ("pallas", "bvh"):
-        # while_loop is not reverse-differentiable (bvh traversal uses one)
-        # and the generic Pallas sweep has no VJP yet; gradient rendering
-        # falls back to the scan + dense-sweep formulation (identical
-        # outputs, tested).
+        # while_loop is not reverse-differentiable (bvh traversal uses
+        # one); gradient rendering falls back to the scan + dense-sweep
+        # formulation (identical outputs, tested).
         cfg = dataclasses.replace(
             cfg,
             early_exit=False,

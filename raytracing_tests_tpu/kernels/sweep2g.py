@@ -29,9 +29,12 @@ consume it).  Dielectric generic scenes stay on the queue renderer.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from raytracing_tests_tpu.core import geometry
 from raytracing_tests_tpu.kernels.sweep2 import (
@@ -304,6 +307,57 @@ def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
             obj_sc[:] = jnp.where(better, gobj, obj_sc[:])
 
 
+def _sweep2g_nearest_kernel(n_groups: int, gr: int, has_motion: bool):
+    def kernel(otab_ref, gaabb_ref, rays_ref, t_out, obj_out, t_sc, obj_sc):
+        rays = rays_ref[:]
+        ox, oy, oz = rays[0:1], rays[1:2], rays[2:3]
+        dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
+        live = (dx * dx + dy * dy + dz * dz) > 0.5
+        _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz,
+                      rays[6:7], live, rays[7:8], t_sc, obj_sc,
+                      n_groups=n_groups, gr=gr, has_motion=has_motion)
+        t_out[:] = t_sc[:]
+        obj_out[:] = obj_sc[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("gr", "has_motion", "block"))
+def _sweep2g(otab, gaabb, rays, gr: int, has_motion: bool, block: int):
+    from raytracing_tests_tpu.kernels.sweep2 import _interpret
+
+    n_groups = otab.shape[0] // gr
+    Bp = rays.shape[1]
+    lane = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _sweep2g_nearest_kernel(n_groups, gr, has_motion),
+        grid=(Bp // block,),
+        in_specs=[full(otab), full(gaabb), lane(8)],
+        out_specs=(lane(1), lane(1)),
+        out_shape=(jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Bp), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((1, block), jnp.float32),
+                        pltpu.VMEM((1, block), jnp.int32)],
+        interpret=_interpret(),
+    )(otab, gaabb, rays)
+
+
+def sweep2g_nearest(accel: "Accel2G", o, d, time_ratio, t_limit,
+                    block: int = 2048):
+    """(t, obj_sorted) nearest-hit sweep over the generic table
+    (occlusion-grade, no fields) — the generic analogue of
+    ``sweep2.sweep2_nearest``."""
+    from raytracing_tests_tpu.kernels.sweep2 import pack_rays
+
+    rays, B = pack_rays(o, d, time_ratio, t_limit, block)
+    t, obj = _sweep2g(accel.otab, accel.gaabb, rays, accel.gr,
+                      accel.has_motion, block)
+    return t[0, :B], obj[0, :B]
+
+
 def _ri_probe_g(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
                 has_motion, need=None):
     """Surrounding-RI containment sum at probe point q, generic mode: the
@@ -312,7 +366,6 @@ def _ri_probe_g(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
     the v1 RI kernel, sweep.py:_ri_kernel generic branch).  Groups whose
     AABB contains no needed probe point are skipped, the same culling as
     ``sweep2._ri_probe``."""
-    from jax.experimental.pallas import tpu as pltpu
 
     L = qx.shape[1]
 

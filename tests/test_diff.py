@@ -184,3 +184,32 @@ def test_soft_edges_recover_displaced_sphere(setup):
         st, loss = step(st, target)
     err1 = float(jnp.abs(st.params.position[1, 0] - scene.position[1, 0]))
     assert err1 < 0.5 * err0, (err0, err1)
+
+
+def test_generic_fast_gradients_match_dense():
+    """Generic-mode (rotated cuboids + spheres) fast gradient path —
+    detached sweep2g winner-finding + closed-form recompute — must match
+    the dense-sweep gradients for color and interior position."""
+    from raytracing_tests_tpu.ops.render import render
+    from raytracing_tests_tpu.scene import examples
+
+    scene, cam = examples.bvh_grid_scene(side=4)
+    base = RenderConfig(width=32, height=24, spp=2, max_bounces=4,
+                        intersector="pallas").for_scene(scene)
+    assert base.pallas_mode == "generic"
+    cfg_fast = dataclasses.replace(base, diff_mode=True, early_exit=False)
+    cfg_dense = dataclasses.replace(base, intersector="brute",
+                                    early_exit=False)
+
+    def mk(cfg, field):
+        def loss(val):
+            out = render(scene.replace(**{field: val}), cam, cfg)
+            return jnp.mean(out["image"])
+        return loss
+
+    for field in ("color", "position"):
+        gf = jax.grad(mk(cfg_fast, field))(getattr(scene, field))
+        gd = jax.grad(mk(cfg_dense, field))(getattr(scene, field))
+        scale = float(jnp.abs(gd).max()) + 1e-8
+        assert float(jnp.abs(gf - gd).max()) / scale < 2e-3, field
+        assert bool(jnp.isfinite(gf).all()), field
