@@ -120,6 +120,155 @@ def trace_shade_block(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
         max_bounces=max_bounces, t_max=t_max, use_mxu=use_mxu)
 
 
+def _norm3(x, y, z, eps):
+    """linalg.normalize on (1, L) planes: v / sqrt(max(|v|^2, eps))."""
+    n = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, max(eps, 1e-38)))
+    return x / n, y / n, z / n
+
+
+def _cross3(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _fibonacci_hemisphere_k(sidx, spp, s, fx, fy, fz):
+    """``sampling.fibonacci_hemisphere`` on (1, L) planes: deterministic
+    scatter around the focus direction on a scaled fibonacci sphere."""
+    n = float(spp)
+    y = 1.0 - sidx / max(n - 1.0, 1.0)
+    radius = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
+    theta = GOLDEN_ANGLE * sidx
+    x = jnp.cos(theta) * radius
+    z = jnp.sin(theta) * radius
+    x, y, z = x * s, y * s, z * s
+    # z_cap = normalize(cross(up, f)) with up = (0,1,0) -> (fz, 0, -fx)
+    zcx, zcy, zcz = _norm3(fz, jnp.zeros_like(fz), -fx, 1e-20)
+    xc = _cross3(fx, fy, fz, zcx, zcy, zcz)
+    xcx, xcy, xcz = _norm3(*xc, 1e-20)
+    px = fx + x * xcx + y * fx + z * zcx
+    py = fy + x * xcy + y * fy + z * zcy
+    pz = fz + x * xcz + y * fz + z * zcz
+    return _norm3(px, py, pz, 1e-38)
+
+
+def _shade_materials_k(rows, t_best, t_safe, px, py, pz, nx, ny, nz,
+                       dx, dy, dz, omt, contrib, bounced, active, sidx,
+                       medium, parent_medium, hit, bgr, bgg, bgb, *,
+                       spp, max_bounces, t_max):
+    """``ops.render._shade_materials`` on (1, L) planes — the IOW-03
+    Shirley-materials spawn model (03_Shadows_and_Materials glsl:291-353):
+    per-ray medium RI (depth-2 stack carried in the pool record), Schlick
+    contribution shift, fibonacci-hemisphere scatter, TIR -> reflection,
+    contribution^2 * albedo local term, no 0.5-forward damping.
+
+    Returns the ``_shade_hits`` contract: (add_r, add_g, add_b, hit_t,
+    refr16, refl16, spawn_refr, spawn_refl, white); children carry
+    (medium, parent_medium) in record rows 10-11."""
+    L = px.shape[1]
+    missed = active & ~hit
+    miss_c = jnp.where(missed, contrib, 0.0)
+    add_r = miss_c * bgr
+    add_g = miss_c * bgg
+    add_b = miss_c * bgb
+
+    mat_ri = rows[FT_MRI : FT_MRI + 1]
+    refrv = rows[FT_REFR : FT_REFR + 1]
+    reflv = rows[FT_REFL : FT_REFL + 1]
+    srfr = rows[FT_SRFR : FT_SRFR + 1]
+    srfl = rows[FT_SRFL : FT_SRFL + 1]
+
+    cos_theta = nx * dx + ny * dy + nz * dz
+    inner = cos_theta > 0.0
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    target = jnp.where(inner, parent_medium, mat_ri)
+    ratio = medium / jnp.maximum(target, 1e-6)
+    ratio_sin = ratio * sin_theta
+    tir = ratio_sin > 1.0
+
+    refr_c = refrv
+    # Schlick shift from refraction to reflection on outer hits
+    # (glsl:326-333; linalg.schlick formula).
+    r0 = (1.0 - ratio) / (1.0 + ratio)
+    r0 = r0 * r0
+    cosc = jnp.clip(-cos_theta, 0.0, 1.0)
+    om = 1.0 - cosc
+    schl = r0 + (1.0 - r0) * om * om * om * om * om
+    shift = jnp.where(~inner, refr_c * schl, 0.0)
+    refr_c = refr_c - shift
+    refl_c = reflv + shift
+    refl_c = jnp.where(tir, 1.0, jnp.where(inner, 0.0, refl_c))
+
+    # Grazing-reflection lift (LaunchRay glsl:230-247).
+    _nx = jnp.where(inner, -nx, nx)
+    _ny = jnp.where(inner, -ny, ny)
+    _nz = jnp.where(inner, -nz, nz)
+    rmx = dx - 2.0 * cos_theta * nx
+    rmy = dy - 2.0 * cos_theta * ny
+    rmz = dz - 2.0 * cos_theta * nz
+    n2ir = _norm3(*_cross3(_nx, _ny, _nz, dx, dy, dz), 1e-20)
+    n2n = _norm3(*_cross3(*n2ir, _nx, _ny, _nz), 1e-20)
+    s = jnp.where(inner, srfr, srfl)
+    inv = 1.0 / jnp.sqrt(1.0 + s * s)
+    mrx = s * inv * _nx + inv * n2n[0]
+    mry = s * inv * _ny + inv * n2n[1]
+    mrz = s * inv * _nz + inv * n2n[2]
+    lift = ((rmx * _nx + rmy * _ny + rmz * _nz)
+            <= (mrx * _nx + mry * _ny + mrz * _nz))
+    use_lift = lift & ~inner
+    rbx = jnp.where(use_lift, mrx, rmx)
+    rby = jnp.where(use_lift, mry, rmy)
+    rbz = jnp.where(use_lift, mrz, rmz)
+    rdx, rdy, rdz = _fibonacci_hemisphere_k(sidx, spp, srfl, rbx, rby, rbz)
+    tin = tir & inner
+    rdx = jnp.where(tin, rbx, rdx)
+    rdy = jnp.where(tin, rby, rdy)
+    rdz = jnp.where(tin, rbz, rdz)
+    bounced1 = bounced + 1.0
+    depth_ok = bounced1 < float(max_bounces)
+    spawn_refl = (hit & depth_ok & (~inner | tir)
+                  & (contrib * refl_c > 0.0))
+
+    # Refraction (glsl:336-345): note _n2 is the OPPOSITE of _normal.
+    n2x = jnp.where(inner, nx, -nx)
+    n2y = jnp.where(inner, ny, -ny)
+    n2z = jnp.where(inner, nz, -nz)
+    ycx = n2x * cos_theta
+    ycy = n2y * cos_theta
+    ycz = n2z * cos_theta
+    xcx = dx - ycx
+    xcy = dy - ycy
+    xcz = dz - ycz
+    sq = jnp.sqrt(jnp.maximum(1.0 - ratio_sin * ratio_sin, 0.0))
+    frx = ratio_sin * n2x + sq * xcx
+    fry = ratio_sin * n2y + sq * xcy
+    frz = ratio_sin * n2z + sq * xcz
+    fbx, fby, fbz = _norm3(frx, fry, frz, 1e-20)
+    fdx, fdy, fdz = _fibonacci_hemisphere_k(sidx, spp, srfr, fbx, fby, fbz)
+    spawn_refr = hit & depth_ok & ~tir & (contrib * refr_c > 0.0)
+
+    # Local term: contribution^2 * albedo (glsl:250 + :304).
+    hit_c = jnp.where(hit, contrib * contrib, 0.0)
+    add_r = add_r + hit_c * rows[FT_CR : FT_CR + 1]
+    add_g = add_g + hit_c * rows[FT_CG : FT_CG + 1]
+    add_b = add_b + hit_c * rows[FT_CB : FT_CB + 1]
+    hit_t = jnp.where(hit, t_best, t_max)
+
+    tmax_row = jnp.full((1, L), t_max, jnp.float32)
+    z4 = jnp.zeros((4, L), jnp.float32)
+    refr16 = jnp.concatenate([
+        px + 1e-4 * n2x, py + 1e-4 * n2y, pz + 1e-4 * n2z,
+        fdx, fdy, fdz, omt, tmax_row, contrib * refr_c, bounced1,
+        target, jnp.where(inner, jnp.ones((1, L), jnp.float32), medium), z4,
+    ], axis=0)
+    refl16 = jnp.concatenate([
+        px - 1e-4 * n2x, py - 1e-4 * n2y, pz - 1e-4 * n2z,
+        rdx, rdy, rdz, omt, tmax_row, contrib * refl_c, bounced1,
+        medium, parent_medium, z4,
+    ], axis=0)
+    white = jnp.zeros((1, L), jnp.bool_)
+    return (add_r, add_g, add_b, hit_t, refr16, refl16, spawn_refr,
+            spawn_refl, white)
+
+
 def _shadow_factor_k(otab_ref, gaabb_ref, fhi_ref, lights_ref,
                      px, py, pz, nx, ny, nz, omt, sidx, did_hit, *,
                      n_pad, n_groups, gr, has_motion, use_mxu, mode,

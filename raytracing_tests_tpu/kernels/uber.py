@@ -22,13 +22,16 @@ megakernel (``01_BoundingVolumeHierarchy/computeShaderSrc.glsl:675-705``):
   - the bounce loop is a ``lax.while_loop`` whose condition is "any lane
     active, any flush pending, or any round left".
 
-Scope (asserted by the driver): 'bvh' shading, single-focus perspective
-camera, no aa_grid, no textures.  Both scene modes are served — the
-sphere-mode MXU sweep (``kernels/sweep2``) and the generic rotated
-ellipsoid/cuboid grouped sweep (``kernels/sweep2g``, non-dielectric) — and
-emissive lights run in-kernel (shadow-ray occlusion sweeps + the INW-04
-paint-it-white abort).  ``ops.render`` remains the general path (textures,
-materials shading, dielectric generic scenes).
+Scope (asserted by the driver): single-focus perspective camera, no
+aa_grid, no textures.  Both scene modes are served — the sphere-mode MXU
+sweep (``kernels/sweep2``) and the generic rotated ellipsoid/cuboid
+grouped sweep (``kernels/sweep2g``, incl. the rotated-containment RI
+probe) — under either shading model: 'bvh' (INW shading, emissive lights
+with in-kernel shadow-ray sweeps + the paint-it-white abort) or
+'materials' (IOW-03: per-ray medium-RI stack in the pool record, Schlick
+contribution shift, fibonacci-hemisphere scatter).  ``ops.render``
+remains the general path (textures, orthographic/multi-focus cameras,
+aa_grid).
 """
 
 from __future__ import annotations
@@ -64,8 +67,11 @@ CAM_LEN = 24  # padded
 def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                  n_pad, n_groups, gr, has_motion, has_dielectrics, Q,
                  B_total, use_mxu, max_iters, mode="spheres",
-                 n_lights=0):
+                 n_lights=0, shading="bvh"):
     aspect = W / H
+    # Queued-record width: o3, d3, contrib, bounced (+ medium, parent under
+    # the materials shading — the per-ray medium-RI stack rides the record).
+    REC = 10 if shading == "materials" else 8
 
     def kernel(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref, cam_ref,
                lights_ref, out_ref, stat_ref, cur_sc, meta_sc, q_sc, acc_sc,
@@ -75,7 +81,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
         base = pid * (R * L)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
         rowR = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
-        qrow = jax.lax.broadcasted_iota(jnp.int32, (Q * 8, L), 0)
+        qrow = jax.lax.broadcasted_iota(jnp.int32, (Q * REC, L), 0)
         tmax_row = jnp.full((1, L), t_max, jnp.float32)
         zeros1 = jnp.zeros((1, L), jnp.float32)
 
@@ -84,7 +90,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
         cur_sc[:] = jnp.zeros((16, L), jnp.float32)
         meta_sc[:] = jnp.zeros((8, L), jnp.int32)
         meta_sc[0:1] = jnp.full((1, L), -1, jnp.int32)  # round counter k
-        q_sc[:] = jnp.zeros((Q * 8, L), jnp.float32)
+        q_sc[:] = jnp.zeros((Q * REC, L), jnp.float32)
         acc_sc[:] = jnp.zeros((4, L), jnp.float32)
 
         def raygen(p):
@@ -138,10 +144,12 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             oy = tipy - ddy
             oz = tipz - ddz
             omt = 1.0 - sf * (1.0 / n)  # time_ratio = s / spp
+            ones1 = jnp.ones((1, L), jnp.float32)
             return jnp.concatenate([
                 ox, oy, oz, ddx, ddy, ddz, omt, tmax_row,
-                jnp.ones((1, L), jnp.float32), zeros1,
-                jnp.zeros((6, L), jnp.float32),
+                ones1, zeros1,
+                ones1, ones1,  # medium, parent_medium (air)
+                jnp.zeros((4, L), jnp.float32),
             ], axis=0)
 
         def body(carry):
@@ -218,15 +226,43 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             # branch goes through pl.when and a results scratch.
             @pl.when(jnp.any(hit))
             def _():
-                (r_, g_, b_, t_, refr_, refl_, sr_, sl_, wh_) = _shade_hits(
-                    otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
-                    cur[0:1], cur[1:2], cur[2:3], dx, dy, dz, cur[6:7],
-                    contrib, cur[9:10], act, sidx, t_sc[:], obj_sc[:], hit,
-                    bgr, bgg, bgb, n_pad=n_pad, n_groups=n_groups, gr=gr,
-                    has_motion=has_motion, has_dielectrics=has_dielectrics,
-                    spp=spp, max_bounces=max_bounces, t_max=t_max,
-                    use_mxu=use_mxu, mode=mode, lights_ref=lights_ref,
-                    n_lights=n_lights)
+                if shading == "materials":
+                    from raytracing_tests_tpu.kernels.mega import (
+                        _shade_materials_k)
+                    from raytracing_tests_tpu.kernels.sweep2 import (
+                        _gather_rows, _winner_refine)
+
+                    rows = _gather_rows(fhi_ref, fmid_ref, flo_ref,
+                                        obj_sc[:], n_pad, L)
+                    if mode == "spheres":
+                        refined = _winner_refine(
+                            rows, cur[0:1], cur[1:2], cur[2:3], dx, dy, dz,
+                            cur[6:7], t_sc[:], hit, has_motion)
+                    else:
+                        from raytracing_tests_tpu.kernels.sweep2g import (
+                            _winner_refine_g)
+
+                        refined = _winner_refine_g(
+                            rows, cur[0:1], cur[1:2], cur[2:3], dx, dy, dz,
+                            cur[6:7], t_sc[:], hit, has_motion)
+                    (r_, g_, b_, t_, refr_, refl_, sr_, sl_,
+                     wh_) = _shade_materials_k(
+                        rows, *refined, dx, dy, dz, cur[6:7], contrib,
+                        cur[9:10], act, sidx, cur[10:11], cur[11:12], hit,
+                        bgr, bgg, bgb, spp=spp, max_bounces=max_bounces,
+                        t_max=t_max)
+                else:
+                    (r_, g_, b_, t_, refr_, refl_, sr_, sl_,
+                     wh_) = _shade_hits(
+                        otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
+                        cur[0:1], cur[1:2], cur[2:3], dx, dy, dz, cur[6:7],
+                        contrib, cur[9:10], act, sidx, t_sc[:], obj_sc[:],
+                        hit, bgr, bgg, bgb, n_pad=n_pad, n_groups=n_groups,
+                        gr=gr, has_motion=has_motion,
+                        has_dielectrics=has_dielectrics, spp=spp,
+                        max_bounces=max_bounces, t_max=t_max,
+                        use_mxu=use_mxu, mode=mode, lights_ref=lights_ref,
+                        n_lights=n_lights)
                 res_sc[:] = jnp.concatenate([
                     r_, g_, b_, t_, refr_, refl_,
                     sr_.astype(jnp.float32), sl_.astype(jnp.float32),
@@ -267,21 +303,33 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             ], axis=0)
             stat_ref[0:1] = stat_ref[0:1] + act.astype(jnp.int32)
 
-            # ---- children: reflect in place, push refraction -------------
+            # ---- children ------------------------------------------------
+            # One child continues in place, the other waits on the stack —
+            # matching the queue renderer's push/pop order per shading:
+            # 'bvh' pushes refraction then reflection (LIFO pops reflect
+            # first -> reflect in place); 'materials' pushes reflection
+            # then refraction (refraction in place, glsl:347-352).
+            if shading == "materials":
+                inplace16, queued16 = refr16, refl16
+                sp_in, sp_q = spawn_refr, spawn_refl
+            else:
+                inplace16, queued16 = refl16, refr16
+                sp_in, sp_q = spawn_refl, spawn_refr
             push = spawn_refl & spawn_refr
             canq = qs < Q
             do_push = push & canq
             stat_ref[1:2] = stat_ref[1:2] + (push & ~canq).astype(jnp.int32)
 
-            refr8 = jnp.concatenate([refr16[0:6], refr16[8:10]], axis=0)
-            qr8 = qrow - (qrow // 8) * 8
-            vals8 = refr8[0:1]
-            for rr in range(1, 8):
-                vals8 = jnp.where(qr8 == rr, refr8[rr : rr + 1], vals8)
+            recN = jnp.concatenate(
+                [queued16[0:6], queued16[8 : 8 + (REC - 6)]], axis=0)
+            qrN = qrow - (qrow // REC) * REC
+            valsN = recN[0:1]
+            for rr in range(1, REC):
+                valsN = jnp.where(qrN == rr, recN[rr : rr + 1], valsN)
 
             @pl.when(jnp.any(do_push))
             def _():
-                q_sc[:] = jnp.where(((qrow // 8) == qs) & do_push, vals8,
+                q_sc[:] = jnp.where(((qrow // REC) == qs) & do_push, valsN,
                                     q_sc[:])
 
             qs = qs + do_push.astype(jnp.int32)
@@ -291,20 +339,21 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             do_pop = need_pop & (qs > 0)
             qtop = qs - 1
             qv = q_sc[:]
-            pop8 = [qv[rr : rr + 1] for rr in range(8)]
+            popN = [qv[rr : rr + 1] for rr in range(REC)]
             for qq in range(1, Q):
                 selq = qtop == qq
-                for rr in range(8):
-                    pop8[rr] = jnp.where(selq, qv[qq * 8 + rr : qq * 8 + rr + 1],
-                                         pop8[rr])
+                for rr in range(REC):
+                    popN[rr] = jnp.where(
+                        selq, qv[qq * REC + rr : qq * REC + rr + 1],
+                        popN[rr])
             omt_row = cur[6:7]  # lane constant: time never changes in a tree
             popped16 = jnp.concatenate(
-                pop8[0:6] + [omt_row, tmax_row] + pop8[6:8]
-                + [jnp.zeros((6, L), jnp.float32)], axis=0)
+                popN[0:6] + [omt_row, tmax_row] + popN[6:REC]
+                + [jnp.zeros((16 - 2 - REC, L), jnp.float32)], axis=0)
             qs = qs - do_pop.astype(jnp.int32)
 
-            cur_sc[:] = jnp.where(spawn_refl, refl16,
-                                  jnp.where(spawn_refr, refr16, popped16))
+            cur_sc[:] = jnp.where(sp_in, inplace16,
+                                  jnp.where(sp_q, queued16, popped16))
             act2 = act & (spawn_refl | spawn_refr | do_pop)
             meta_sc[1:2] = act2.astype(jnp.int32)
             meta_sc[2:3] = qs
@@ -396,7 +445,7 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
         n_pad=n_pad, n_groups=n_groups, gr=gr, has_motion=cfg.has_motion,
         has_dielectrics=cfg.has_dielectrics, Q=Q, B_total=B,
         use_mxu=use_mxu, max_iters=max_iters, mode=cfg.pallas_mode,
-        n_lights=n_lights)
+        n_lights=n_lights, shading=cfg.shading)
     lane_spec = lambda rows: pl.BlockSpec((rows, L), lambda i: (0, i),
                                           memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
@@ -416,7 +465,8 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
         scratch_shapes=[
             pltpu.VMEM((16, L), jnp.float32),  # cur
             pltpu.VMEM((8, L), jnp.int32),  # meta: k, act, qsize
-            pltpu.VMEM((Q * 8, L), jnp.float32),  # LIFO stack
+            pltpu.VMEM((Q * (10 if cfg.shading == "materials" else 8), L),
+                       jnp.float32),  # LIFO stack
             pltpu.VMEM((4, L), jnp.float32),  # round accumulator
             pltpu.VMEM((1, L), jnp.float32),  # sweep t
             pltpu.VMEM((1, L), jnp.int32),  # sweep obj
@@ -442,7 +492,9 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     if qcap is not None and qcap != cfg.queue_capacity:
         cfg = dataclasses.replace(cfg, queue_capacity=qcap)
 
-    assert cfg.shading == "bvh", "uber path implements INW shading"
+    assert cfg.shading in ("bvh", "materials"), cfg.shading
+    if cfg.shading == "materials":
+        assert lights is None, "materials shading: no emissive lights"
     assert scene.textures is None, "uber path is untextured"
     assert not cfg.aa_grid, "uber path: DOF sampling only (no aa_grid)"
     assert not cfg.show_normals

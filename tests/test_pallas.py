@@ -387,3 +387,59 @@ def test_uber_generic_dielectric_matches_queue():
         abs(int(oq["rays"]) - int(ou["rays"])) / int(oq["rays"]) < 0.02)
     assert int(ou["rays_dropped"]) == 0
     assert np.isnan(iu).sum() == 0
+
+
+def test_uber_materials_matches_queue():
+    """Persistent kernel under the IOW-03 MATERIALS shading (per-ray
+    medium-RI stack in the pool record, Schlick contribution shift,
+    fibonacci-hemisphere scatter, refraction-continues-in-place push
+    order) vs the queue renderer."""
+    import jax
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import render_stats
+
+    scene, cam = examples.materials_scene()
+    cfg = RenderConfig(width=48, height=32, spp=4, max_bounces=5,
+                       shading="materials", intersector="pallas"
+                       ).for_scene(scene)
+    oq = jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, cam)
+    ou = render_uber(scene, cam, cfg, L=256, R=8, gr=16)
+    iq, iu = np.asarray(oq["image"]), np.asarray(ou["image"])
+    assert abs(float(iq.mean()) - float(iu.mean())) < 5e-3
+    assert (np.abs(iq - iu).max(axis=-1) > 0.05).mean() < 0.03
+    rq, ru = int(oq["rays"]), int(ou["rays"])
+    assert abs(rq - ru) / rq < 0.02, (rq, ru)
+    assert int(ou["rays_dropped"]) == 0
+    assert np.isnan(iu).sum() == 0
+
+
+def test_uber_materials_nested_dielectric():
+    """Materials uber on a nested dielectric (glass shell with an air
+    bubble): the depth-2 medium stack and TIR-to-reflection conversion
+    must match the queue renderer."""
+    import jax
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import render_stats
+    from raytracing_tests_tpu.scene.types import Camera, SceneBuilder
+
+    b = SceneBuilder()
+    b.add_sphere((0.0, -100.5, -3.0), 100.0, color=(0.6, 0.7, 0.5),
+                 reflectivity=1.0, scatter_reflect=1.0)
+    b.add_sphere((0.0, 0.0, -3.0), 0.5, color=(1.0, 1.0, 1.0),
+                 refractive_index=1.5, refractivity=0.9, reflectivity=0.1)
+    b.add_sphere((0.0, 0.0, -3.0), 0.3, color=(1.0, 1.0, 1.0),
+                 refractive_index=1.0, refractivity=0.95, reflectivity=0.05)
+    scene = b.build()
+    cam = Camera.make((0.0, 0.2, 0.4), (0.0, -0.05, -1.0), fov_y_deg=55.0,
+                      focus_dist=3.4)
+    cfg = RenderConfig(width=40, height=28, spp=4, max_bounces=7,
+                       shading="materials", intersector="pallas"
+                       ).for_scene(scene)
+    oq = jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, cam)
+    ou = render_uber(scene, cam, cfg, L=256, R=8, gr=16)
+    iq, iu = np.asarray(oq["image"]), np.asarray(ou["image"])
+    assert abs(float(iq.mean()) - float(iu.mean())) < 5e-3
+    assert (np.abs(iq - iu).max(axis=-1) > 0.05).mean() < 0.03
+    assert np.isnan(iu).sum() == 0
