@@ -39,8 +39,11 @@ def _make_fn(renderer, cfg, chunk):
         # qcap=3: a shallower in-VMEM LIFO is measurably faster (fewer
         # scratch rows per push/pop) and the headline scene's refraction
         # trees never exceed depth 3 — rays_dropped is asserted 0 below.
+        # (materials shading keeps the full reference stack depth: its
+        # trees have no contribution cutoff.)
+        qcap = 3 if cfg.shading == "bvh" else None
         return lambda s, c, lt: render_uber(s, c, cfg, lights=lt, L=2048,
-                                            R=96, gr=64, qcap=3)
+                                            R=96, gr=64, qcap=qcap)
     if renderer == "megalanes":
         from raytracing_tests_tpu.ops.megalanes import render_megalanes
 
@@ -103,6 +106,10 @@ def side_configs(chunk):
     out["texturing"] = (s, c, mk(s), None, "queue")
     s, c = examples.lights_scene()
     out["lights"] = (s, c, mk(s), extract_lights(s), "uber")
+    # Extra (beyond BASELINE.json's five): the IOW-03 materials shading
+    # model on the persistent kernel.
+    s, c = examples.materials_scene()
+    out["materials"] = (s, c, mk(s, shading="materials"), None, "uber")
     return out
 
 
