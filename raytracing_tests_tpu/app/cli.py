@@ -92,7 +92,10 @@ def _cmd_train(args):
 
     log = get_logger()
     w = get_workload(args.workload)
-    out = w.run(width=args.width, height=args.height, spp=args.spp)
+    kw = {}
+    if getattr(args, "pallas", False):
+        kw["intersector"] = "pallas"  # fast gradient path (diff/fastpath.py)
+    out = w.run(width=args.width, height=args.height, spp=args.spp, **kw)
     scene, camera, cfg = out["scene"], out["camera"], out["cfg"]
     target = np.asarray(out["image"])
 
@@ -220,6 +223,9 @@ def main(argv=None):
     pt.add_argument("--seed", type=int, default=0)
     pt.add_argument("--mesh", type=int)
     pt.add_argument("--train-fields", default="color")
+    pt.add_argument("--pallas", action="store_true",
+                    help="fast gradient path (Pallas winner-finding + "
+                    "closed-form recompute)")
     pt.add_argument(
         "--soft-edges", type=float, default=0.0,
         help="edge-aware gradient band (~0.03 recommended when training "
