@@ -443,3 +443,32 @@ def test_uber_materials_nested_dielectric():
     assert abs(float(iq.mean()) - float(iu.mean())) < 5e-3
     assert (np.abs(iq - iu).max(axis=-1) > 0.05).mean() < 0.03
     assert np.isnan(iu).sum() == 0
+
+
+def test_uber_partial_final_block_and_drop_accounting():
+    """Two persistent-kernel edge cases: (a) B not divisible by R*L — the
+    tail grid block must render its partial round correctly; (b) a
+    deliberately undersized ray stack must surface honest rays_dropped
+    (never silently diverge)."""
+    import jax
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import render_stats
+
+    scene, cam = examples.iow_final_scene(side=5)
+    cfg = RenderConfig(width=50, height=30, spp=3, max_bounces=4,
+                       intersector="pallas").for_scene(scene)
+    oq = jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, cam)
+    ou = render_uber(scene, cam, cfg, L=256, R=4, gr=64)  # NB=5, tail 404
+    iq, iu = np.asarray(oq["image"]), np.asarray(ou["image"])
+    assert (np.abs(iq - iu).max(axis=-1) > 0.05).mean() < 0.03
+    assert int(oq["rays"]) == int(ou["rays"])
+    assert int(ou["rays_dropped"]) == 0
+
+    s2, c2 = examples.materials_scene()
+    cfg2 = RenderConfig(width=32, height=24, spp=4, max_bounces=7,
+                        shading="materials", intersector="pallas"
+                        ).for_scene(s2)
+    o2 = render_uber(s2, c2, cfg2, L=256, R=3, gr=16, qcap=1)
+    assert int(o2["rays_dropped"]) > 0  # overflow is visible, not silent
+    assert np.isnan(np.asarray(o2["image"])).sum() == 0
