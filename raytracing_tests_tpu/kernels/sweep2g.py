@@ -22,9 +22,11 @@ zero-scatter, ~100%-occupancy schedule as the headline sphere scene:
     one-hot-gathered object row (``_winner_refine_g``) — the generic
     analogue of ``sweep2._winner_refine``.
 
-Scope: non-dielectric generic scenes (the RI containment probe would need
-the rotated point-in-primitive test; reflective scenes — the R-grid — never
-consume it).  Dielectric generic scenes stay on the queue renderer.
+Dielectric generic scenes are served too: ``_ri_probe_g`` runs the rotated
+point-in-primitive containment sum (the surrounding-refractive-index
+estimate) grouped and point-in-group-AABB-culled, and ``sweep2g_nearest``
+exposes the occlusion-grade sweep standalone for the fast gradient path's
+detached winner-finding (``diff/fastpath.py``).
 """
 
 from __future__ import annotations
@@ -39,7 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 from raytracing_tests_tpu.core import geometry
 from raytracing_tests_tpu.kernels.sweep2 import (
     BIG_T,
-    FT_ROWS,
     OT_COLS,
     _slab_hit,
     pack_ftab_splits,
