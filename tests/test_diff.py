@@ -213,3 +213,40 @@ def test_generic_fast_gradients_match_dense():
         scale = float(jnp.abs(gd).max()) + 1e-8
         assert float(jnp.abs(gf - gd).max()) / scale < 2e-3, field
         assert bool(jnp.isfinite(gf).all()), field
+
+
+def test_pixel_grad_allclose_vs_cpu_ref():
+    """The BASELINE metric, literally: per-pixel d(image)/d(theta) from
+    autodiff must allclose central finite differences of the INDEPENDENT
+    CPU oracle renderer (reference/cpu_renderer.py) — not just of the JAX
+    renderer itself.  Covers an albedo channel and a dielectric's
+    refractive index (the refraction chain)."""
+    from raytracing_tests_tpu.ops.render import render
+    from raytracing_tests_tpu.reference.cpu_renderer import render_cpu
+    from raytracing_tests_tpu.scene import examples
+
+    scene, cam = examples.materials_scene()
+    cfg = dataclasses.replace(
+        RenderConfig(width=24, height=16, spp=2, max_bounces=4,
+                     intersector="brute").for_scene(scene),
+        early_exit=False)
+
+    def check(field, index, eps, atol):
+        base = float(getattr(scene, field)[index])
+
+        def img_of(v):
+            arr = getattr(scene, field).at[index].set(v)
+            return render(scene.replace(**{field: arr}), cam, cfg)["image"]
+
+        _, g_ad = jax.jvp(img_of, (base,), (1.0,))
+
+        def cpu_img(v):
+            arr = getattr(scene, field).at[index].set(v)
+            s = scene.replace(**{field: arr})
+            return np.asarray(render_cpu(s, cam, cfg)["image"])
+
+        g_fd = (cpu_img(base + eps) - cpu_img(base - eps)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g_ad), g_fd, atol=atol)
+
+    check("color", (2, 0), 2e-3, 2e-2)
+    check("refractive_index", (1,), 1e-3, 5e-2)
