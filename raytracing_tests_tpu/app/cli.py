@@ -93,8 +93,10 @@ def _cmd_train(args):
     log = get_logger()
     w = get_workload(args.workload)
     kw = {}
-    if getattr(args, "pallas", False):
-        kw["intersector"] = "pallas"  # fast gradient path (diff/fastpath.py)
+    if getattr(args, "pallas", False) or args.soft_edges > 0.0:
+        # fast gradient path (diff/fastpath.py); the soft-edge estimator
+        # only exists there, so --soft-edges implies it.
+        kw["intersector"] = "pallas"
     out = w.run(width=args.width, height=args.height, spp=args.spp, **kw)
     scene, camera, cfg = out["scene"], out["camera"], out["cfg"]
     target = np.asarray(out["image"])
@@ -229,7 +231,8 @@ def main(argv=None):
     pt.add_argument(
         "--soft-edges", type=float, default=0.0,
         help="edge-aware gradient band (~0.03 recommended when training "
-        "position/scale; see diff/fastpath.py)")
+        "position/scale; sphere-mode scenes only — implies the Pallas "
+        "fast gradient path; see diff/fastpath.py)")
     pt.add_argument("--out-dir")
     pt.add_argument("--ckpt-dir", help="checkpoint/resume directory")
     pt.add_argument("--ckpt-every", type=int, default=20)

@@ -52,6 +52,18 @@ class DiffAccel:
         return cls(leaves[0])
 
 
+def fastpath_eligible(cfg) -> bool:
+    """Single source of truth for when the fast gradient path applies:
+    the Pallas intersector, and either sphere mode (full support incl.
+    ``soft_edges``) or generic mode with hard winners only (the soft-edge
+    silhouette metric is sphere-specific).  Used by BOTH
+    ``diff.train.render_loss`` (to set ``diff_mode``) and
+    ``ops.render._build_accel`` (to build the ``DiffAccel``) — keep them
+    in lockstep through this predicate."""
+    return cfg.intersector == "pallas" and (
+        cfg.pallas_mode == "spheres" or cfg.soft_edges == 0.0)
+
+
 def make_diff_accel(scene, has_motion: bool = True,
                     mode: str = "spheres") -> DiffAccel:
     detached = jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
@@ -80,9 +92,11 @@ def intersect_diff(accel: DiffAccel, scene, o, d, time_ratio, t_limit,
                    soft: float = 0.0):
     """(Hit, HitFields, alpha) with gradients w.r.t. scene params AND (o, d).
 
-    Sphere-mode only (isotropic spheres, cf. ``sweep2``).  The reference's
-    quadratic (01_Adding_Sphere glsl:76-86) differentiated through the
-    winner's closed form.
+    Both scene modes: the detached winner comes from the sphere-mode MXU
+    sweep or the generic grouped sweep (``sweep2g_nearest``) per
+    ``accel.mode``; the differentiable recompute below always uses the
+    FULL rotation/per-axis-scale/type math, so rotated cuboids and
+    anisotropic ellipsoids differentiate exactly like the dense path.
 
     ``soft > 0`` enables the EDGE-AWARE estimator: lanes that narrowly miss
     every object adopt the kernel's silhouette candidate, and all lanes get

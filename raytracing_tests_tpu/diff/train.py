@@ -36,14 +36,22 @@ def render_loss(
     lights: Optional[Lights] = None,
 ):
     """Mean-squared pixel error of the (possibly sharded) render vs target."""
-    if cfg.intersector == "pallas" and (
-            cfg.pallas_mode == "spheres" or cfg.soft_edges == 0.0):
+    from raytracing_tests_tpu.diff.fastpath import fastpath_eligible
+
+    if cfg.soft_edges > 0.0 and not (
+            cfg.intersector == "pallas" and cfg.pallas_mode == "spheres"):
+        # No other path implements the estimator — silently ignoring the
+        # flag would hand back exactly the biased silhouette gradients it
+        # exists to fix.
+        raise ValueError(
+            "soft_edges requires the sphere-mode Pallas fast gradient path "
+            "(intersector='pallas' on an isotropic-sphere scene); generic "
+            "scenes train with hard winners (soft_edges=0)")
+    if fastpath_eligible(cfg):
         # Fast gradient path: detached Pallas winner-finding + closed-form
         # recompute of the winner's hit (diff/fastpath.py) — both scene
-        # modes; the edge-aware soft-silhouette estimator is sphere-only,
-        # so generic + soft_edges falls through to the dense sweep below.
-        # early_exit off: while_loop is not reverse-differentiable, the
-        # scan bounce loop is.
+        # modes.  early_exit off: while_loop is not
+        # reverse-differentiable, the scan bounce loop is.
         cfg = dataclasses.replace(cfg, early_exit=False, diff_mode=True)
     elif cfg.early_exit or cfg.intersector in ("pallas", "bvh"):
         # while_loop is not reverse-differentiable (bvh traversal uses

@@ -120,6 +120,25 @@ def trace_shade_block(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
         max_bounces=max_bounces, t_max=t_max, use_mxu=use_mxu)
 
 
+def _gather_refine(fhi_ref, fmid_ref, flo_ref, obj_best, ox, oy, oz,
+                   dx, dy, dz, omt, t_best, hit, *, n_pad, has_motion,
+                   mode):
+    """One-hot winner gather + mode-dispatched exact re-intersection.
+    Returns (rows, (t_best, t_safe, px, py, pz, nx, ny, nz)) — the shared
+    prelude of every shading model."""
+    L = ox.shape[1]
+    rows = _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best, n_pad, L)
+    if mode == "spheres":
+        refined = _winner_refine(rows, ox, oy, oz, dx, dy, dz, omt,
+                                 t_best, hit, has_motion)
+    else:
+        from raytracing_tests_tpu.kernels.sweep2g import _winner_refine_g
+
+        refined = _winner_refine_g(rows, ox, oy, oz, dx, dy, dz, omt,
+                                   t_best, hit, has_motion)
+    return rows, refined
+
+
 def _norm3(x, y, z, eps):
     """linalg.normalize on (1, L) planes: v / sqrt(max(|v|^2, eps))."""
     n = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, max(eps, 1e-38)))
@@ -361,15 +380,9 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
                 use_mxu, mode: str = "spheres", lights_ref=None,
                 n_lights: int = 0):
     L = ox.shape[1]
-    rows = _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best, n_pad, L)
-    if mode == "spheres":
-        t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine(
-            rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
-    else:
-        from raytracing_tests_tpu.kernels.sweep2g import _winner_refine_g
-
-        t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine_g(
-            rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
+    rows, (t_best, t_safe, px, py, pz, nx, ny, nz) = _gather_refine(
+        fhi_ref, fmid_ref, flo_ref, obj_best, ox, oy, oz, dx, dy, dz, omt,
+        t_best, hit, n_pad=n_pad, has_motion=has_motion, mode=mode)
 
     # Emissive abort ("paint it white", lights glsl:662-666): the sample
     # becomes pure white; the lane's remaining tree is dropped by the caller.

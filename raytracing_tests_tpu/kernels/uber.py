@@ -15,10 +15,12 @@ megakernel (``01_BoundingVolumeHierarchy/computeShaderSrc.glsl:675-705``):
     exhausted it flushes its round's color into the block-local output tile
     and regenerates the next primary — occupancy stays near 100% without
     any compaction, scatter, or sort;
-  - the per-lane LIFO ray stack (reflection continues in place, refraction
-    waits on the stack — the reference's push/pop order) lives in VMEM
-    scratch; queue records keep 8 rows (o, d, contribution, bounce count —
-    omt and t_limit are lane constants, rebuilt on pop);
+  - the per-lane LIFO ray stack lives in VMEM scratch; one child continues
+    in place and the other waits on the stack, in each shading model's
+    reference push/pop order ('bvh': reflection in place; 'materials':
+    refraction in place).  Queue records keep 8 rows (o, d, contribution,
+    bounce count — omt and t_limit are lane constants, rebuilt on pop),
+    plus (medium, parent_medium) = 10 rows under materials shading;
   - the bounce loop is a ``lax.while_loop`` whose condition is "any lane
     active, any flush pending, or any round left".
 
@@ -66,7 +68,7 @@ CAM_LEN = 24  # padded
 
 def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                  n_pad, n_groups, gr, has_motion, has_dielectrics, Q,
-                 B_total, use_mxu, max_iters, mode="spheres",
+                 B_total, use_mxu, max_iters, pops, mode="spheres",
                  n_lights=0, shading="bvh"):
     aspect = W / H
     # Queued-record width: o3, d3, contrib, bounced (+ medium, parent under
@@ -157,6 +159,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             k = meta_sc[0:1]
             act = meta_sc[1:2] > 0
             qs = meta_sc[2:3]
+            cnt = meta_sc[3:4]  # nodes processed this round (pops budget)
 
             # ---- flush finished rounds into the output tile --------------
             # (channel-major rows c*R + k: one (R, L) one-hot shared by the
@@ -190,6 +193,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
 
             k = jnp.where(can_re, k_next, jnp.where(fin, -2, k))
             act = act | can_re
+            cnt = jnp.where(can_re, 0, cnt)
             meta_sc[0:1] = k
             meta_sc[1:2] = act.astype(jnp.int32)
 
@@ -228,23 +232,12 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             def _():
                 if shading == "materials":
                     from raytracing_tests_tpu.kernels.mega import (
-                        _shade_materials_k)
-                    from raytracing_tests_tpu.kernels.sweep2 import (
-                        _gather_rows, _winner_refine)
+                        _gather_refine, _shade_materials_k)
 
-                    rows = _gather_rows(fhi_ref, fmid_ref, flo_ref,
-                                        obj_sc[:], n_pad, L)
-                    if mode == "spheres":
-                        refined = _winner_refine(
-                            rows, cur[0:1], cur[1:2], cur[2:3], dx, dy, dz,
-                            cur[6:7], t_sc[:], hit, has_motion)
-                    else:
-                        from raytracing_tests_tpu.kernels.sweep2g import (
-                            _winner_refine_g)
-
-                        refined = _winner_refine_g(
-                            rows, cur[0:1], cur[1:2], cur[2:3], dx, dy, dz,
-                            cur[6:7], t_sc[:], hit, has_motion)
+                    rows, refined = _gather_refine(
+                        fhi_ref, fmid_ref, flo_ref, obj_sc[:], cur[0:1],
+                        cur[1:2], cur[2:3], dx, dy, dz, cur[6:7], t_sc[:],
+                        hit, n_pad=n_pad, has_motion=has_motion, mode=mode)
                     (r_, g_, b_, t_, refr_, refl_, sr_, sl_,
                      wh_) = _shade_materials_k(
                         rows, *refined, dx, dy, dz, cur[6:7], contrib,
@@ -333,9 +326,16 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                                     q_sc[:])
 
             qs = qs + do_push.astype(jnp.int32)
-            if n_lights > 0:
-                qs = jnp.where(white, 0, qs)  # drop stacked siblings
-            need_pop = act & ~spawn_refl & ~spawn_refr & ~white
+            # Per-round ray-tree budget: the queue renderer gives every
+            # sample exactly cfg.pops pops (trace_lanes' scan length) and
+            # abandons still-queued rays; matching it keeps ray counts and
+            # images identical AND bounds the while_loop for tree shapes
+            # with no contribution cutoff (materials shading).
+            cnt2 = cnt + act.astype(jnp.int32)
+            exhausted = cnt2 >= pops
+            kill = white | (exhausted & act)
+            qs = jnp.where(kill, 0, qs)  # drop stacked siblings
+            need_pop = act & ~spawn_refl & ~spawn_refr & ~kill
             do_pop = need_pop & (qs > 0)
             qtop = qs - 1
             qv = q_sc[:]
@@ -352,11 +352,17 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                 + [jnp.zeros((16 - 2 - REC, L), jnp.float32)], axis=0)
             qs = qs - do_pop.astype(jnp.int32)
 
-            cur_sc[:] = jnp.where(sp_in, inplace16,
-                                  jnp.where(sp_q, queued16, popped16))
-            act2 = act & (spawn_refl | spawn_refr | do_pop)
+            # On stack overflow the QUEUED-preference child survives (the
+            # queue renderer pushes the in-place-preference child last, so
+            # IT is the one dropped there).
+            overflow = push & ~canq
+            cur_sc[:] = jnp.where(sp_in & ~overflow, inplace16,
+                                  jnp.where(sp_q | overflow, queued16,
+                                            popped16))
+            act2 = act & (spawn_refl | spawn_refr | do_pop) & ~kill
             meta_sc[1:2] = act2.astype(jnp.int32)
             meta_sc[2:3] = qs
+            meta_sc[3:4] = cnt2
 
             # ---- continue while work remains ----------------------------
             k_now = meta_sc[0:1]
@@ -432,7 +438,10 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
     n_groups = n_pad // gr
     NB = -(-B // (R * L))
     Q = cfg.queue_capacity
-    max_iters = R * cfg.pops + 64
+    # Each round costs <= pops node-iterations (the in-kernel budget below)
+    # + 1 regeneration iteration; the per-round budget makes this a TRUE
+    # bound for every tree shape (incl. materials' cutoff-free trees).
+    max_iters = R * (cfg.pops + 1) + 64
     if lts is None:
         lts = jnp.zeros((1, 8), jnp.float32)
     # Lights scenes use a black background (lights glsl:23-30).
@@ -444,8 +453,8 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
         bg_top=zero3 if n_lights else cfg.background[1],
         n_pad=n_pad, n_groups=n_groups, gr=gr, has_motion=cfg.has_motion,
         has_dielectrics=cfg.has_dielectrics, Q=Q, B_total=B,
-        use_mxu=use_mxu, max_iters=max_iters, mode=cfg.pallas_mode,
-        n_lights=n_lights, shading=cfg.shading)
+        use_mxu=use_mxu, max_iters=max_iters, pops=cfg.pops,
+        mode=cfg.pallas_mode, n_lights=n_lights, shading=cfg.shading)
     lane_spec = lambda rows: pl.BlockSpec((rows, L), lambda i: (0, i),
                                           memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),

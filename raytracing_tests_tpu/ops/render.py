@@ -721,13 +721,13 @@ def _build_accel(scene, cfg: RenderConfig):
 
         return build_lbvh(scene)
     if cfg.intersector == "pallas":
-        if cfg.diff_mode and (cfg.pallas_mode == "spheres"
-                              or cfg.soft_edges == 0.0):
-            # Fast gradient path: sphere mode fully (incl. edge-aware soft
-            # silhouettes); generic mode with hard winners only (the
-            # soft-edge silhouette metric is sphere-specific).
-            from raytracing_tests_tpu.diff.fastpath import make_diff_accel
+        if cfg.diff_mode:
+            from raytracing_tests_tpu.diff.fastpath import (
+                fastpath_eligible, make_diff_accel)
 
+            # render_loss only sets diff_mode when fastpath_eligible (the
+            # shared predicate); assert the two sites stay in lockstep.
+            assert fastpath_eligible(cfg), cfg
             return make_diff_accel(scene, has_motion=cfg.has_motion,
                                    mode=cfg.pallas_mode)
         if cfg.pallas_v2 and cfg.pallas_mode == "spheres":

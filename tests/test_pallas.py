@@ -442,6 +442,10 @@ def test_uber_materials_nested_dielectric():
     iq, iu = np.asarray(oq["image"]), np.asarray(ou["image"])
     assert abs(float(iq.mean()) - float(iu.mean())) < 5e-3
     assert (np.abs(iq - iu).max(axis=-1) > 0.05).mean() < 0.03
+    # The in-kernel per-round pops budget must truncate trees exactly like
+    # the queue renderer's scan length: identical ray counts even on deep
+    # cutoff-free dielectric trees.
+    assert int(oq["rays"]) == int(ou["rays"]), (int(oq["rays"]), int(ou["rays"]))
     assert np.isnan(iu).sum() == 0
 
 
