@@ -254,3 +254,24 @@ def test_compute_workloads_run(name):
     out = get_workload(name).run(width=16, height=16, grid=2, generations=1, n=32)
     assert "image" in out
     assert np.isfinite(np.asarray(out["image"])).all() or name == "evolve"
+
+
+def test_apt_reference_grid_scale():
+    """The full 4x4 grid-of-pictures loop at the reference's interactive
+    resolution: render, pick, re-render — shapes and finiteness."""
+    import jax
+    import numpy as np
+
+    from raytracing_tests_tpu.ops.apt import EvolvingPictures
+
+    ev = EvolvingPictures(grid=4, seed=1, depth=5)
+    imgs = jax.block_until_ready(ev.render_grid(128, 128))
+    assert imgs.shape == (16, 128, 128, 3)
+    ev.pick(3)
+    imgs2 = jax.block_until_ready(ev.render_grid(128, 128))
+    # Raw APT values are unbounded (divide/exp nodes legitimately produce
+    # inf, exactly like the GLSL kernel) — assert no NaN-poisoning of the
+    # winner's picture and that breeding actually changed the grid.
+    a, b = np.asarray(imgs), np.asarray(imgs2)
+    assert not np.array_equal(np.nan_to_num(a), np.nan_to_num(b))
+    assert np.isfinite(np.asarray(imgs2[0])).any()  # winner re-renders
