@@ -198,6 +198,9 @@ def traverse_point_ri(bvh: LBVH, scene: Scene, point, time_ratio):
         inside = (
             geometry.point_in_unit_primitive(local, scene.obj_type[obj_s])
             & scene.valid[obj_s]
+            # RI-1 containers are air (convention shared with the CPU
+            # oracle and every device probe).
+            & (scene.refractive_index[obj_s] != 1.0)
         )
         take = is_down & is_leaf & inside_aabb & inside
         acc = acc + jnp.where(take, scene.refractive_index[obj_s], 0.0)

@@ -65,13 +65,15 @@ def fastpath_eligible(cfg) -> bool:
 
 
 def make_diff_accel(scene, has_motion: bool = True,
-                    mode: str = "spheres") -> DiffAccel:
+                    mode: str = "spheres", probe_rows=None) -> DiffAccel:
     detached = jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
     if mode == "spheres":
-        return DiffAccel(make_accel2(detached, has_motion=has_motion))
+        return DiffAccel(make_accel2(detached, has_motion=has_motion,
+                                     probe_rows=probe_rows))
     from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
 
-    return DiffAccel(make_accel2g(detached, has_motion=has_motion))
+    return DiffAccel(make_accel2g(detached, has_motion=has_motion,
+                                  probe_rows=probe_rows))
 
 
 def _winner(accel, o, d, time_ratio, t_limit):

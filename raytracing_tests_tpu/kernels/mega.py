@@ -83,7 +83,7 @@ def trace_shade_block(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
                       ox, oy, oz, dx, dy, dz, omt, tlim, contrib, bounced,
                       active, sidx, t_sc, obj_sc, *, n_pad, n_groups, gr,
                       has_motion, has_dielectrics, spp, max_bounces, t_max,
-                      bg_bottom, bg_top, use_mxu):
+                      bg_bottom, bg_top, use_mxu, n_pgroups=0):
     """Sweep + gather + refine + surrounding-RI + INW shading + child-ray
     construction for one lane block — the whole per-ray pipeline on (1, L)
     planes.  Shared by the chunked megakernel and the persistent kernel.
@@ -117,7 +117,8 @@ def trace_shade_block(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
         t_best, obj_best, hit, bgr, bgg, bgb, n_pad=n_pad,
         n_groups=n_groups, gr=gr, has_motion=has_motion,
         has_dielectrics=has_dielectrics, spp=spp,
-        max_bounces=max_bounces, t_max=t_max, use_mxu=use_mxu)
+        max_bounces=max_bounces, t_max=t_max, use_mxu=use_mxu,
+        n_pgroups=n_pgroups)
 
 
 def _gather_refine(fhi_ref, fmid_ref, flo_ref, obj_best, ox, oy, oz,
@@ -378,7 +379,7 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
                 t_best, obj_best, hit, bgr, bgg, bgb, *, n_pad, n_groups, gr,
                 has_motion, has_dielectrics, spp, max_bounces, t_max,
                 use_mxu, mode: str = "spheres", lights_ref=None,
-                n_lights: int = 0):
+                n_lights: int = 0, n_pgroups: int = 0):
     L = ox.shape[1]
     rows, (t_best, t_safe, px, py, pz, nx, ny, nz) = _gather_refine(
         fhi_ref, fmid_ref, flo_ref, obj_best, ox, oy, oz, dx, dy, dz, omt,
@@ -413,22 +414,26 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
     ndotd = nx * dx + ny * dy + nz * dz
     inner = ndotd > 0.0
 
-    if has_dielectrics:
+    import os as _os
+    _abl = frozenset(_os.environ.get("UBER_ABLATE", "").split(","))
+    if has_dielectrics and "probe" not in _abl:
         # Only dielectric winners / interior hits consume sur_ri; skipped
         # lanes read the neutral 1.0.
         need = did_hit & (inner | (refrv > 0.002))
+        pg = n_pgroups or n_groups
+        g0 = n_groups if n_pgroups else 0
         if mode == "spheres":
             sur_ri = _ri_probe(
                 otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
-                pz + 1e-3 * nz, omt, n_groups=n_groups, gr=gr,
-                has_motion=has_motion, use_mxu=use_mxu, need=need)
+                pz + 1e-3 * nz, omt, n_groups=pg, gr=gr,
+                has_motion=has_motion, use_mxu=use_mxu, need=need, g0=g0)
         else:
             from raytracing_tests_tpu.kernels.sweep2g import _ri_probe_g
 
             sur_ri = _ri_probe_g(
                 otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
-                pz + 1e-3 * nz, omt, n_groups=n_groups, gr=gr,
-                has_motion=has_motion, need=need)
+                pz + 1e-3 * nz, omt, n_groups=pg, gr=gr,
+                has_motion=has_motion, need=need, g0=g0)
     else:
         sur_ri = jnp.ones((1, L), jnp.float32)
 
@@ -527,7 +532,8 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
 
 def _mega_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
                  has_dielectrics: bool, spp: int, max_bounces: int,
-                 t_max: float, bg_bottom, bg_top, use_mxu: bool):
+                 t_max: float, bg_bottom, bg_top, use_mxu: bool,
+                 n_pgroups: int = 0):
     def kernel(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref, pool_ref,
                lane_ref, misc_out, refr_out, refl_out, rlane_out, llane_out,
                t_sc, obj_sc):
@@ -546,7 +552,8 @@ def _mega_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
                 active, sidx, t_sc, obj_sc, n_pad=n_pad, n_groups=n_groups,
                 gr=gr, has_motion=has_motion, has_dielectrics=has_dielectrics,
                 spp=spp, max_bounces=max_bounces, t_max=t_max,
-                bg_bottom=bg_bottom, bg_top=bg_top, use_mxu=use_mxu))
+                bg_bottom=bg_bottom, bg_top=bg_top, use_mxu=use_mxu,
+                n_pgroups=n_pgroups))
         zeros = jnp.zeros((1, L), jnp.float32)
         misc_out[:] = jnp.concatenate(
             [add_r, add_g, add_b, hit_t, zeros, zeros, zeros, zeros], axis=0)
@@ -571,9 +578,10 @@ def mega_step(otab, ftab3, gaabb, pool, lane, gr: int, has_motion: bool,
     Returns (misc (8, C), refr (16, C), refl (16, C), rlane (C,), llane (C,))
     where misc rows are [add_r, add_g, add_b, hit_t, 0...].
     """
-    n_pad = otab.shape[0]
-    n_groups = n_pad // gr
     fhi, fmid, flo = ftab3
+    n_pad = fhi.shape[1]  # MAIN rows (ftab width = winner-id space)
+    n_groups = n_pad // gr
+    n_pgroups = (otab.shape[0] - n_pad) // gr  # trailing probe groups
     C = pool.shape[1]
     grid = (C // block,)
     lane2 = lane.reshape(1, C)
@@ -583,7 +591,8 @@ def mega_step(otab, ftab3, gaabb, pool, lane, gr: int, has_motion: bool,
                                   memory_space=pltpu.VMEM)
     misc, refr, refl, rlane, llane = pl.pallas_call(
         _mega_kernel(n_pad, n_groups, gr, has_motion, has_dielectrics, spp,
-                     max_bounces, t_max, bg[0], bg[1], use_mxu),
+                     max_bounces, t_max, bg[0], bg[1], use_mxu,
+                     n_pgroups=n_pgroups),
         grid=grid,
         in_specs=[full(otab), full(fhi), full(fmid), full(flo),
                   full(gaabb), lane_spec(POOL_ROWS), lane_spec(1)],

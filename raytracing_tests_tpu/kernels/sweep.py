@@ -484,10 +484,13 @@ def _ri_kernel(mode: str, n_obj: int):
                 rx = px - table[S_CX, i] + omt * table[S_DPX, i]
                 ry = py - table[S_CY, i] + omt * table[S_DPY, i]
                 rz = pz - table[S_CZ, i] + omt * table[S_DPZ, i]
+                ri = table[S_RI, i]
+                # RI-1 containers are air: they cannot move the result off
+                # the neutral 1.0 (same convention as sweep2._ri_probe's
+                # dielectric-only sub-table and the CPU oracle).
                 inside = (rx * rx + ry * ry + rz * rz <= table[S_R2, i]) & (
                     table[S_VALID, i] > 0.0
-                )
-                ri = table[S_RI, i]
+                ) & (ri != 1.0)
             else:
                 rx = px - table[G_PX, i] + omt * table[G_DPX, i]
                 ry = py - table[G_PY, i] + omt * table[G_DPY, i]
@@ -503,6 +506,7 @@ def _ri_kernel(mode: str, n_obj: int):
                     jnp.where(typ == float(geometry.CUBOID), in_c, False),
                 ) & (table[G_VALID, i] > 0.0)
                 ri = table[G_RI, i]
+                inside = inside & (ri != 1.0)  # RI-1 containers are air
             acc = acc + jnp.where(inside, ri, 0.0)
             cnt = cnt + inside.astype(jnp.float32)
             return acc, cnt

@@ -90,7 +90,7 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def pack_tables(scene: Scene, order, n_pad: int, anchor):
+def pack_tables(scene: Scene, order, n_pad: int, anchor, valid_mask=None):
     """Morton-ordered scene -> (otab (Np, 128), ftab (FT_ROWS, Np)).
 
     ``order`` is the sorted->original permutation; invalid and padding rows
@@ -99,12 +99,16 @@ def pack_tables(scene: Scene, order, n_pad: int, anchor):
     expanded around it (c' = c - anchor), so the |c'|^2 - r^2 cancellation
     stays well-conditioned — Morton groups are spatially tight, and a huge
     isolated object anchors at ~its own center, recovering the v1 form.
+    ``valid_mask`` (original-index space) additionally kills rows — used by
+    the dielectric-only probe sub-table.
     """
     s = {f: getattr(scene, f)[order] for f in (
         "position", "scale", "delta_position", "color", "refractive_index",
         "refractivity", "reflectivity", "scatter_refract", "scatter_reflect",
         "texture_index", "emissive", "valid",
     )}
+    if valid_mask is not None:
+        s["valid"] = s["valid"] & valid_mask[order]
     n = order.shape[0]
     c = s["position"] - anchor[:n]  # group-relative centers
     r = s["scale"][:, 0]
@@ -200,7 +204,7 @@ def _point_in_aabb(gaabb_ref, g, qx, qy, qz):
 
 def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
                 tlim, t_sc, obj_sc, m_sc, e_sc, *, n_groups, gr, has_motion,
-                use_mxu, with_edge):
+                use_mxu, with_edge, cnt_ref=None):
     """The grouped nearest-hit sweep writing best (t, obj[, edge]) into the
     scratch refs.  Shared by the sweep kernels and the megakernel.
 
@@ -250,6 +254,8 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
 
         @pl.when(jnp.any(ghit))
         def _(g=g):
+            if cnt_ref is not None:  # groups-entered diagnostic
+                cnt_ref[3:4] = cnt_ref[3:4] + 1
             sl = slice(g * gr, (g + 1) * gr)
             k1 = otab_ref[sl, OT_K1 : OT_K1 + 1]  # (GR, 1)
             # Shift rays into the group-anchored frame.
@@ -343,11 +349,14 @@ def _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best, n_pad, L):
     hi/mid/lo splits (see ``pack_ftab_splits``) — exact to full f32
     mantissa because the one-hot operand is exactly bf16-representable
     (each output element is a single product plus exact zeros)."""
+    import os as _os
+    _abl = frozenset(_os.environ.get("UBER_ABLATE", "").split(","))
     rid_full = jax.lax.broadcasted_iota(jnp.int32, (n_pad, L), 0)
     oh = (rid_full == obj_best).astype(jnp.bfloat16)
     dn = (((1,), (0,)), ((), ()))
+    refs = (fhi_ref,) if "gather1" in _abl else (fhi_ref, fmid_ref, flo_ref)
     out = None
-    for ref in (fhi_ref, fmid_ref, flo_ref):
+    for ref in refs:
         g = jax.lax.dot_general(
             ref[:], oh, dn, preferred_element_type=jnp.float32)
         out = g if out is None else out + g
@@ -392,7 +401,7 @@ def _winner_refine(rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion):
 
 
 def _ri_probe(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
-              has_motion, use_mxu, need=None):
+              has_motion, use_mxu, need=None, g0=0):
     """Surrounding-RI containment sum at probe point q; same quadratic
     expansion as the sweep (r^2 cancels: inside <=> qq + K1 - 2 C.q <= 0).
 
@@ -404,7 +413,13 @@ def _ri_probe(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
     consumes the result (dielectric winners / interior hits); other lanes'
     probe points are excluded from the group-entry test, so a block whose
     few dielectric lanes touch 2 groups pays 2 groups, not every group any
-    lane strays into."""
+    lane strays into.
+
+    ``g0``: first group to test.  ``make_accel2`` appends a DIELECTRIC-ONLY
+    (ri != 1) probe sub-table after the main groups — only rows with ri != 1
+    can move the result off the neutral 1.0, and restricting the probe to
+    them cut the headline frame ~20% (the probe was 21% of frame time
+    against the full 8-group table; the dielectric subset is 1 group)."""
     dn = (((1,), (0,)), ((), ()))
     L = qx.shape[1]
 
@@ -413,7 +428,7 @@ def _ri_probe(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
         cnt_sc[:] = jnp.zeros((1, L), jnp.float32)
         if use_mxu:
             z5 = jnp.zeros((5, L), jnp.float32)
-        for g in range(n_groups):
+        for g in range(g0, g0 + n_groups):
             pin = _point_in_aabb(gaabb_ref, g, qx, qy, qz)
             if need is not None:
                 pin = pin & need
@@ -468,7 +483,7 @@ def _ri_probe(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
 
 def _sweep2_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
                    with_ri: bool, with_fields: bool, use_mxu: bool,
-                   with_edge: bool = False):
+                   with_edge: bool = False, n_pgroups: int = 0):
     """Kernel factory. Outputs: always (t, obj); ``with_fields`` adds the
     (V_ROWS, L) hit block (normal + material row + surrounding RI);
     ``with_edge`` adds the near-miss silhouette candidate
@@ -517,8 +532,10 @@ def _sweep2_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
                 need = hit & (inner | (rows[FT_REFR : FT_REFR + 1] > 0.002))
                 sur_ri = _ri_probe(
                     otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
-                    pz + 1e-3 * nz, omt, n_groups=n_groups, gr=gr,
-                    has_motion=has_motion, use_mxu=use_mxu, need=need)
+                    pz + 1e-3 * nz, omt,
+                    n_groups=n_pgroups or n_groups, gr=gr,
+                    has_motion=has_motion, use_mxu=use_mxu, need=need,
+                    g0=n_groups if n_pgroups else 0)
             else:
                 sur_ri = jnp.ones((1, L), jnp.float32)
 
@@ -551,29 +568,37 @@ def _sweep2_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
 
 @jax.tree_util.register_pytree_node_class
 class Accel2:
-    """v2 sphere-mode accel: Morton-grouped tables + group AABBs."""
+    """v2 sphere-mode accel: Morton-grouped tables + group AABBs.
 
-    def __init__(self, otab, ftab3, gaabb, perm, gr: int, has_motion: bool):
-        self.otab = otab  # (Np, 128)
+    ``otab``/``gaabb`` carry ``n_pgroups`` TRAILING dielectric-only probe
+    groups (rows restricted to valid & ri != 1) after the main sweep
+    groups — the surrounding-RI probe loops only over those.  ``ftab3``
+    spans the MAIN rows only (its width is the winner-id space)."""
+
+    def __init__(self, otab, ftab3, gaabb, perm, gr: int, has_motion: bool,
+                 n_pgroups: int = 0):
+        self.otab = otab  # (Np + Pp, 128)
         self.ftab3 = ftab3  # 3x (FT_ROWS, Np) bf16 hi/mid/lo splits
-        self.gaabb = gaabb  # (G, 128) rows: lo3 hi3
+        self.gaabb = gaabb  # (G + PG, 128) rows: lo3 hi3 anchor3
         self.perm = perm  # (N,) sorted -> original
         self.gr = gr
         self.has_motion = has_motion
+        self.n_pgroups = n_pgroups
 
     mode = "spheres"
 
     def tree_flatten(self):
         return (self.otab, self.ftab3, self.gaabb, self.perm), (
-            self.gr, self.has_motion)
+            self.gr, self.has_motion, self.n_pgroups)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, aux[0], aux[1])
+        return cls(*leaves, *aux)
 
 
 def make_accel2(scene: Scene, gr: int = DEFAULT_GR,
-                has_motion: bool = True, sort_origin=None) -> Accel2:
+                has_motion: bool = True, sort_origin=None,
+                probe_rows=None) -> Accel2:
     """Morton-order objects into groups of ``gr``; huge objects isolated
     into leading always-tested groups (same policy as v1 ``make_accel``).
 
@@ -581,7 +606,12 @@ def make_accel2(scene: Scene, gr: int = DEFAULT_GR,
     GROUPS near-to-far by closest-AABB-point distance — the block-culling
     analogue of the reference traversal's near-child-first heuristic
     (01_BVH glsl:455-460): a near group hit tightens every lane's t limit
-    before the far groups' slab tests run, so far groups cull away."""
+    before the far groups' slab tests run, so far groups cull away.
+
+    ``probe_rows``: static count of dielectric (ri != 1) rows, used to size
+    the trailing probe sub-table (see ``Accel2``).  Defaults to counting on
+    the concrete scene; REQUIRED when the scene is a tracer (pass
+    ``cfg.probe_rows`` — ``RenderConfig.for_scene`` records it)."""
     from raytracing_tests_tpu.bvh.build import morton3d
 
     lo, hi = scene.world_aabbs()
@@ -650,7 +680,69 @@ def make_accel2(scene: Scene, gr: int = DEFAULT_GR,
         gaabb = gaabb[gorder]
         perm = perm.reshape(G, gr)[gorder].reshape(n_pad)
 
-    return Accel2(otab, pack_ftab_splits(ftab), gaabb, perm, gr, has_motion)
+    def _pack_probe(o, npd, anc, vm, dm):
+        tab = pack_tables(scene, o, npd, anc, vm)[0]
+        return tab.at[:, OT_K1].set(
+            jnp.where(dm, tab[:, OT_K1], jnp.float32(BIG_T)))
+
+    potab, pgaabb = _probe_tables(
+        scene, key, valid, lo, hi, gr, probe_rows, _pack_probe)
+    otab = jnp.concatenate([otab, potab])
+    gaabb = jnp.concatenate([gaabb, pgaabb])
+    return Accel2(otab, pack_ftab_splits(ftab), gaabb, perm, gr, has_motion,
+                  n_pgroups=pgaabb.shape[0])
+
+
+def _probe_tables(scene, key, valid, lo, hi, gr: int, probe_rows, packer):
+    """Dielectric-only (valid & ri != 1) probe sub-table: Morton/huge-first
+    ordered rows grouped by ``gr`` with their own AABBs + median anchors.
+    Only ri != 1 rows can move the surrounding-RI result off the neutral
+    1.0, so the probe loops over this (usually single-group) subset instead
+    of the whole table.  ``packer(order, n_pad, anchor, valid_mask)`` builds
+    the mode-specific object table."""
+    import numpy as np
+
+    dmask = valid & (scene.refractive_index != 1.0)
+    if probe_rows is None or probe_rows < 0:
+        probe_rows = int(np.asarray(dmask).sum())  # concrete scenes only
+    np_pad = max(gr, -(-probe_rows // gr) * gr)
+    pkey = jnp.where(dmask, key, jnp.uint32(0xFFFFFFFF))
+    porder = jnp.argsort(pkey).astype(jnp.int32)
+    n = porder.shape[0]
+    if np_pad > n:  # all-dielectric tiny scenes: repeat rows, masked dead
+        porder = jnp.concatenate(
+            [porder, jnp.zeros((np_pad - n,), jnp.int32)])
+        live = jnp.arange(np_pad) < probe_rows
+    else:
+        porder = porder[:np_pad]
+        live = jnp.arange(np_pad) < probe_rows
+    dm = dmask[porder] & live
+
+    INF = 3.0e38
+    lo_p = jnp.where(dm[:, None], lo[porder], INF)
+    hi_p = jnp.where(dm[:, None], hi[porder], -INF)
+    PG = np_pad // gr
+    plo = jnp.min(lo_p.reshape(PG, gr, 3), axis=1)
+    phi = jnp.max(hi_p.reshape(PG, gr, 3), axis=1)
+    cen = jnp.where(dm[:, None], scene.position[porder], jnp.inf)
+    cg_sorted = jnp.sort(cen.reshape(PG, gr, 3), axis=1)
+    nv = jnp.sum(dm.reshape(PG, gr, 1).astype(jnp.int32), axis=1)
+    mid = jnp.clip((nv - 1) // 2, 0, gr - 1)[:, None, :]
+    med = jnp.take_along_axis(cg_sorted, jnp.broadcast_to(mid, (PG, 1, 3)),
+                              axis=1)[:, 0]
+    anchor_g = jnp.where(nv > 0, med, 0.0)
+    pgaabb = jnp.zeros((PG, OT_COLS), jnp.float32)
+    pgaabb = pgaabb.at[:, 0:3].set(plo).at[:, 3:6].set(phi)
+    pgaabb = pgaabb.at[:, 6:9].set(anchor_g)
+
+    # packer(order, n_pad, anchor, valid_mask, dm) builds the mode-specific
+    # table: valid_mask (ORIGINAL index space) kills the non-dielectric
+    # argsort filler, and the POSITIONAL dm mask additionally kills
+    # duplicated index-0 padding rows (np_pad > n) even when object 0 is
+    # dielectric.
+    anchor = jnp.repeat(anchor_g, gr, axis=0)
+    potab = packer(porder, np_pad, anchor, dmask, dm)
+    return potab, pgaabb
 
 
 @functools.partial(
@@ -659,9 +751,10 @@ def make_accel2(scene: Scene, gr: int = DEFAULT_GR,
 def _sweep2(otab, ftab3, gaabb, rays, B: int, gr: int, has_motion: bool,
             with_ri: bool, with_fields: bool, use_mxu: bool, block: int,
             with_edge: bool = False):
-    n_pad = otab.shape[0]
     fhi, fmid, flo = ftab3
+    n_pad = fhi.shape[1]  # MAIN rows (ftab width = winner-id space)
     n_groups = n_pad // gr
+    n_pgroups = (otab.shape[0] - n_pad) // gr  # trailing probe groups
     Bp = rays.shape[1]
     grid = (Bp // block,)
     lane_spec = lambda rows: pl.BlockSpec(
@@ -681,7 +774,7 @@ def _sweep2(otab, ftab3, gaabb, rays, B: int, gr: int, has_motion: bool,
         out_specs.append(lane_spec(V_ROWS))
     return pl.pallas_call(
         _sweep2_kernel(n_pad, n_groups, gr, has_motion, with_ri, with_fields,
-                       use_mxu, with_edge),
+                       use_mxu, with_edge, n_pgroups=n_pgroups),
         grid=grid,
         in_specs=[full(otab), full(fhi), full(fmid), full(flo),
                   full(gaabb), lane_spec(8)],

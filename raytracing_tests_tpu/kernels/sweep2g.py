@@ -66,14 +66,18 @@ GFT_ROWS = 32  # 4 f32 sublane tiles
 _ELL = float(geometry.ELLIPSOID)
 
 
-def pack_tables_g(scene: Scene, order, n_pad: int):
-    """Morton-ordered scene -> (otab (Np, 128), ftab (GFT_ROWS, Np))."""
+def pack_tables_g(scene: Scene, order, n_pad: int, valid_mask=None):
+    """Morton-ordered scene -> (otab (Np, 128), ftab (GFT_ROWS, Np)).
+    ``valid_mask`` (original-index space) additionally kills rows — used by
+    the dielectric-only probe sub-table."""
     s = {f: getattr(scene, f)[order] for f in (
         "position", "rotation", "scale", "delta_position", "obj_type",
         "color", "refractive_index", "refractivity", "reflectivity",
         "scatter_refract", "scatter_reflect", "texture_index", "emissive",
         "valid",
     )}
+    if valid_mask is not None:
+        s["valid"] = s["valid"] & valid_mask[order]
     n = order.shape[0]
     c = s["position"]
     dp = s["delta_position"]
@@ -113,29 +117,33 @@ def pack_tables_g(scene: Scene, order, n_pad: int):
 
 @jax.tree_util.register_pytree_node_class
 class Accel2G:
-    """Generic-mode accel: Morton-grouped 21-field tables + group AABBs."""
+    """Generic-mode accel: Morton-grouped 21-field tables + group AABBs.
+    Like ``sweep2.Accel2``, ``otab``/``gaabb`` carry ``n_pgroups`` trailing
+    dielectric-only probe groups; ``ftab3`` spans the main rows only."""
 
-    def __init__(self, otab, ftab3, gaabb, perm, gr: int, has_motion: bool):
-        self.otab = otab  # (Np, 128)
+    def __init__(self, otab, ftab3, gaabb, perm, gr: int, has_motion: bool,
+                 n_pgroups: int = 0):
+        self.otab = otab  # (Np + Pp, 128)
         self.ftab3 = ftab3  # 3x (GFT_ROWS, Np) bf16 hi/mid/lo splits
-        self.gaabb = gaabb  # (G, 128) rows: lo3 hi3
+        self.gaabb = gaabb  # (G + PG, 128) rows: lo3 hi3
         self.perm = perm
         self.gr = gr
         self.has_motion = has_motion
+        self.n_pgroups = n_pgroups
 
     mode = "generic"
 
     def tree_flatten(self):
         return (self.otab, self.ftab3, self.gaabb, self.perm), (
-            self.gr, self.has_motion)
+            self.gr, self.has_motion, self.n_pgroups)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, aux[0], aux[1])
+        return cls(*leaves, *aux)
 
 
 def make_accel2g(scene: Scene, gr: int = 64, has_motion: bool = True,
-                 sort_origin=None) -> Accel2G:
+                 sort_origin=None, probe_rows=None) -> Accel2G:
     """Group policy identical to ``sweep2.make_accel2`` (Morton order, huge
     objects isolated into leading groups, groups sorted near-to-far from
     ``sort_origin``), built over the generic 21-field table."""
@@ -186,7 +194,19 @@ def make_accel2g(scene: Scene, gr: int = 64, has_motion: bool = True,
         gaabb = gaabb[gorder]
         perm = perm.reshape(G, gr)[gorder].reshape(n_pad)
 
-    return Accel2G(otab, pack_ftab_splits(ftab), gaabb, perm, gr, has_motion)
+    from raytracing_tests_tpu.kernels.sweep2 import _probe_tables
+
+    def _pack_probe(o, npd, anc, vm, dm):
+        tab = pack_tables_g(scene, o, npd, vm)[0]
+        return tab.at[:, GO_VALID].set(
+            jnp.where(dm, tab[:, GO_VALID], 0.0))
+
+    potab, pgaabb = _probe_tables(
+        scene, key, valid, lo, hi, gr, probe_rows, _pack_probe)
+    otab = jnp.concatenate([otab, potab])
+    gaabb = jnp.concatenate([gaabb, pgaabb])
+    return Accel2G(otab, pack_ftab_splits(ftab), gaabb, perm, gr, has_motion,
+                   n_pgroups=pgaabb.shape[0])
 
 
 def _local_frame(otab_ref, sl, ox, oy, oz, dx, dy, dz, omt, has_motion):
@@ -266,7 +286,8 @@ def _both_t(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz):
 
 
 def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
-                  tlim, t_sc, obj_sc, *, n_groups, gr, has_motion):
+                  tlim, t_sc, obj_sc, *, n_groups, gr, has_motion,
+                  cnt_ref=None):
     """Grouped nearest-hit sweep over the generic table, writing best
     (t, obj) into the scratch refs.  Structure mirrors
     ``sweep2._sweep_loop`` (slab-culled groups, live-mask block skip); the
@@ -286,6 +307,8 @@ def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
 
         @pl.when(jnp.any(ghit))
         def _(g=g):
+            if cnt_ref is not None:  # groups-entered diagnostic
+                cnt_ref[3:4] = cnt_ref[3:4] + 1
             sl = slice(g * gr, (g + 1) * gr)
             lox, loy, loz, ldx, ldy, ldz = _local_frame(
                 otab_ref, sl, ox, oy, oz, dx, dy, dz, omt, has_motion)
@@ -323,11 +346,13 @@ def _sweep2g_nearest_kernel(n_groups: int, gr: int, has_motion: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("gr", "has_motion", "block"))
-def _sweep2g(otab, gaabb, rays, gr: int, has_motion: bool, block: int):
+@functools.partial(jax.jit, static_argnames=("gr", "has_motion", "block",
+                                              "n_pgroups"))
+def _sweep2g(otab, gaabb, rays, gr: int, has_motion: bool, block: int,
+             n_pgroups: int = 0):
     from raytracing_tests_tpu.kernels.sweep2 import _interpret
 
-    n_groups = otab.shape[0] // gr
+    n_groups = otab.shape[0] // gr - n_pgroups  # main groups only
     Bp = rays.shape[1]
     lane = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
@@ -355,12 +380,13 @@ def sweep2g_nearest(accel: "Accel2G", o, d, time_ratio, t_limit,
 
     rays, B = pack_rays(o, d, time_ratio, t_limit, block)
     t, obj = _sweep2g(accel.otab, accel.gaabb, rays, accel.gr,
-                      accel.has_motion, block)
+                      accel.has_motion, block,
+                      n_pgroups=getattr(accel, "n_pgroups", 0))
     return t[0, :B], obj[0, :B]
 
 
 def _ri_probe_g(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
-                has_motion, need=None):
+                has_motion, need=None, g0=0):
     """Surrounding-RI containment sum at probe point q, generic mode: the
     rotated point-in-primitive test (local = R^T(q - c + omt*dp) / s;
     ellipsoid |local|^2 <= 1, cuboid all |local| <= 0.5 — division like
@@ -373,7 +399,7 @@ def _ri_probe_g(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
     def body(acc_sc, cnt_sc):
         acc_sc[:] = jnp.zeros((1, L), jnp.float32)
         cnt_sc[:] = jnp.zeros((1, L), jnp.float32)
-        for g in range(n_groups):
+        for g in range(g0, g0 + n_groups):
             pin = ((qx >= gaabb_ref[g, 0]) & (qx <= gaabb_ref[g, 3])
                    & (qy >= gaabb_ref[g, 1]) & (qy <= gaabb_ref[g, 4])
                    & (qz >= gaabb_ref[g, 2]) & (qz <= gaabb_ref[g, 5]))

@@ -66,14 +66,28 @@ from raytracing_tests_tpu.kernels.sweep2 import _interpret, make_accel2
 CAM_LEN = 24  # padded
 
 
+import os as _os
+
+_ABLATE = frozenset(_os.environ.get("UBER_ABLATE", "").split(","))
+
+
 def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                  n_pad, n_groups, gr, has_motion, has_dielectrics, Q,
                  B_total, use_mxu, max_iters, pops, mode="spheres",
-                 n_lights=0, shading="bvh"):
+                 n_lights=0, shading="bvh", order="sample", n_pgroups=0):
     aspect = W / H
     # Queued-record width: o3, d3, contrib, bounced (+ medium, parent under
     # the materials shading — the per-ray medium-RI stack rides the record).
     REC = 10 if shading == "materials" else 8
+    # Pixel-major order: a lane owns R CONSECUTIVE primaries (p = base +
+    # lane*R + k), so its R rounds land in at most R//spp + 2 pixels and
+    # the per-round flush is a one-hot over NPIX rows instead of R — the
+    # kernel applies finalize's per-sample gamma (sqrt) and accumulates
+    # per-PIXEL sums in the tiny output tile.  (Sample-major keeps the
+    # per-sample tile for bit-exact parity with the queue renderer.)
+    NPIX = (R // spp + 2) if order == "pixel" else 0
+    OUT_ROWS = 4 * NPIX if order == "pixel" else 4 * R
+    mid_s = spp // 2  # finalize keeps the mid sample's depth
 
     def kernel(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref, cam_ref,
                lights_ref, out_ref, stat_ref, cur_sc, meta_sc, q_sc, acc_sc,
@@ -82,13 +96,20 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
         pid = pl.program_id(0)
         base = pid * (R * L)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-        rowR = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+        if order == "pixel":
+            rowP = jax.lax.broadcasted_iota(jnp.int32, (NPIX, L), 0)
+            lane0 = base + lane_iota * R  # lane's first primary
+            pix0 = lane0 // spp
+        else:
+            rowR = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
         qrow = jax.lax.broadcasted_iota(jnp.int32, (Q * REC, L), 0)
         tmax_row = jnp.full((1, L), t_max, jnp.float32)
         zeros1 = jnp.zeros((1, L), jnp.float32)
 
-        out_ref[:] = jnp.zeros((R * 4, L), jnp.float32)
-        stat_ref[:] = jnp.zeros((2, L), jnp.int32)
+        out_ref[:] = jnp.zeros((OUT_ROWS, L), jnp.float32)
+        # stat rows: 0 = traced rays, 1 = dropped rays, 2 = while-loop
+        # iterations (occupancy diagnostic), 3 = sweep groups entered.
+        stat_ref[:] = jnp.zeros((4, L), jnp.int32)
         cur_sc[:] = jnp.zeros((16, L), jnp.float32)
         meta_sc[:] = jnp.zeros((8, L), jnp.int32)
         meta_sc[0:1] = jnp.full((1, L), -1, jnp.int32)  # round counter k
@@ -128,8 +149,12 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                 half_ap * jnp.sqrt(jnp.maximum(sf - 0.5, 0.0) * (1.0 / denom)))
             r = jnp.where(sf == 0.0, 0.0, r)
             th = GOLDEN_ANGLE * sf
-            offx = r * jnp.cos(th)
-            offy = r * jnp.sin(th)
+            if "trig" in _ABLATE:  # ablation: measure sunflower trig cost
+                offx = r * 0.6
+                offy = r * 0.8
+            else:
+                offx = r * jnp.cos(th)
+                offy = r * jnp.sin(th)
             rrx, rry, rrz, rux, ruy, ruz = _cross_up(bdx, bdy, bdz)
 
             fd = cam_ref[0, CAM_FD]
@@ -154,6 +179,12 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                 jnp.zeros((4, L), jnp.float32),
             ], axis=0)
 
+        def pof(kk):
+            """Global primary index of round ``kk`` ((1, L) i32)."""
+            if order == "pixel":
+                return lane0 + kk
+            return base + kk * L + lane_iota
+
         def body(carry):
             it, _ = carry
             k = meta_sc[0:1]
@@ -166,18 +197,36 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             # four channel segments instead of a (4R, L) interleaved select)
             fin = (~act) & (k >= 0)
 
-            @pl.when(jnp.any(fin))
-            def _():
-                accs = acc_sc[:]
-                sel = (rowR == k) & fin
-                for c in range(4):
-                    seg = out_ref[c * R : (c + 1) * R]
-                    out_ref[c * R : (c + 1) * R] = seg + jnp.where(
-                        sel, accs[c : c + 1], 0.0)
+            if "flush" in _ABLATE:  # ablation: measure flush cost
+                pass
+            elif order == "pixel":
+                @pl.when(jnp.any(fin))
+                def _():
+                    accs = acc_sc[:]
+                    p_fin = pof(k)
+                    slot = p_fin // spp - pix0
+                    s_fin = p_fin - (p_fin // spp) * spp
+                    sel = (rowP == slot) & fin
+                    vals = [jnp.sqrt(jnp.maximum(accs[c : c + 1], 0.0))
+                            for c in range(3)]
+                    vals.append(jnp.where(s_fin == mid_s, accs[3:4], 0.0))
+                    for c in range(4):
+                        seg = out_ref[c * NPIX : (c + 1) * NPIX]
+                        out_ref[c * NPIX : (c + 1) * NPIX] = seg + jnp.where(
+                            sel, vals[c], 0.0)
+            else:
+                @pl.when(jnp.any(fin))
+                def _():
+                    accs = acc_sc[:]
+                    sel = (rowR == k) & fin
+                    for c in range(4):
+                        seg = out_ref[c * R : (c + 1) * R]
+                        out_ref[c * R : (c + 1) * R] = seg + jnp.where(
+                            sel, accs[c : c + 1], 0.0)
 
             # ---- regenerate the next primary / retire the lane -----------
             k_next = k + 1
-            p_new = base + k_next * L + lane_iota
+            p_new = pof(k_next)
             # k == -2 marks a RETIRED lane (k_next < 0): never regenerate.
             can_re = ((~act) & (k_next >= 0) & (k_next < R)
                       & (p_new < B_total))
@@ -199,26 +248,28 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
 
             # ---- trace + shade ------------------------------------------
             cur = cur_sc[:]
-            p_cur = base + jnp.maximum(k, 0) * L + lane_iota
+            p_cur = pof(jnp.maximum(k, 0))
             s_i = p_cur - (p_cur // spp) * spp
             sidx = s_i.astype(jnp.float32)
             dx, dy, dz = cur[3:4], cur[4:5], cur[5:6]
             contrib = cur[8:9]
             a2 = dx * dx + dy * dy + dz * dz
             live = (a2 > 0.5) & act
+            stat_ref[2:3] = stat_ref[2:3] + 1  # iteration counter
             if mode == "spheres":
                 _sweep_loop(otab_ref, gaabb_ref, cur[0:1], cur[1:2],
                             cur[2:3], dx, dy, dz, cur[6:7], live, cur[7:8],
                             t_sc, obj_sc, None, None, n_groups=n_groups,
                             gr=gr, has_motion=has_motion, use_mxu=use_mxu,
-                            with_edge=False)
+                            with_edge=False, cnt_ref=stat_ref)
             else:
                 from raytracing_tests_tpu.kernels.sweep2g import _sweep_loop_g
 
                 _sweep_loop_g(otab_ref, gaabb_ref, cur[0:1], cur[1:2],
                               cur[2:3], dx, dy, dz, cur[6:7], live,
                               cur[7:8], t_sc, obj_sc, n_groups=n_groups,
-                              gr=gr, has_motion=has_motion)
+                              gr=gr, has_motion=has_motion,
+                              cnt_ref=stat_ref)
             hit = (obj_sc[:] >= 0) & act
             tt_ = (dy + 1.0) * 0.5
             bgr = (1.0 - tt_) * bg_bottom[0] + tt_ * bg_top[0]
@@ -255,7 +306,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                         has_dielectrics=has_dielectrics, spp=spp,
                         max_bounces=max_bounces, t_max=t_max,
                         use_mxu=use_mxu, mode=mode, lights_ref=lights_ref,
-                        n_lights=n_lights)
+                        n_lights=n_lights, n_pgroups=n_pgroups)
                 res_sc[:] = jnp.concatenate([
                     r_, g_, b_, t_, refr_, refl_,
                     sr_.astype(jnp.float32), sl_.astype(jnp.float32),
@@ -368,7 +419,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             k_now = meta_sc[0:1]
             flush_pending = (~act2) & (k_now >= 0)
             regen_possible = ((~act2) & (k_now + 1 >= 0) & (k_now + 1 < R)
-                              & (base + (k_now + 1) * L + lane_iota < B_total))
+                              & (pof(k_now + 1) < B_total))
             more = (jnp.any(act2) | jnp.any(flush_pending)
                     | jnp.any(regen_possible))
             return (it + 1, more)
@@ -429,13 +480,14 @@ def pack_camera(camera, row_stride=1.0, row0=0.0):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "B", "L", "R", "gr", "use_mxu", "full_height",
-                     "n_lights"))
+                     "n_lights", "order"))
 def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
                gr: int, use_mxu: bool, full_height: int = 0, lts=None,
-               n_lights: int = 0):
+               n_lights: int = 0, order: str = "sample"):
     fhi, fmid, flo = ftab3
-    n_pad = otab.shape[0]
+    n_pad = fhi.shape[1]  # MAIN rows (ftab width = winner-id space)
     n_groups = n_pad // gr
+    n_pgroups = (otab.shape[0] - n_pad) // gr  # trailing probe groups
     NB = -(-B // (R * L))
     Q = cfg.queue_capacity
     # Each round costs <= pops node-iterations (the in-kernel budget below)
@@ -446,6 +498,7 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
         lts = jnp.zeros((1, 8), jnp.float32)
     # Lights scenes use a black background (lights glsl:23-30).
     zero3 = (0.0, 0.0, 0.0)
+    OUT_ROWS = 4 * (R // cfg.spp + 2) if order == "pixel" else 4 * R
     kernel = _uber_kernel(
         R=R, W=cfg.width, H=full_height or cfg.height, spp=cfg.spp,
         max_bounces=cfg.max_bounces, t_max=cfg.t_max,
@@ -454,7 +507,8 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
         n_pad=n_pad, n_groups=n_groups, gr=gr, has_motion=cfg.has_motion,
         has_dielectrics=cfg.has_dielectrics, Q=Q, B_total=B,
         use_mxu=use_mxu, max_iters=max_iters, pops=cfg.pops,
-        mode=cfg.pallas_mode, n_lights=n_lights, shading=cfg.shading)
+        mode=cfg.pallas_mode, n_lights=n_lights, shading=cfg.shading,
+        order=order, n_pgroups=n_pgroups)
     lane_spec = lambda rows: pl.BlockSpec((rows, L), lambda i: (0, i),
                                           memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
@@ -466,10 +520,10 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
         grid=(NB,),
         in_specs=[full(otab), full(fhi), full(fmid), full(flo), full(gaabb),
                   smem(cam), smem(lts)],
-        out_specs=(lane_spec(R * 4), lane_spec(2)),
+        out_specs=(lane_spec(OUT_ROWS), lane_spec(4)),
         out_shape=(
-            jax.ShapeDtypeStruct((R * 4, NB * L), jnp.float32),
-            jax.ShapeDtypeStruct((2, NB * L), jnp.int32),
+            jax.ShapeDtypeStruct((OUT_ROWS, NB * L), jnp.float32),
+            jax.ShapeDtypeStruct((4, NB * L), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((16, L), jnp.float32),  # cur
@@ -487,13 +541,24 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
 
 
 def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
-                gr: int = 32, use_mxu: bool = False, qcap=None):
+                gr: int = 32, use_mxu: bool = False, qcap=None,
+                order: str = "sample"):
     """Full render via the persistent kernel;
     dict(image, depth, rays, rays_dropped).
 
     ``qcap`` overrides ``cfg.queue_capacity`` for the in-VMEM LIFO stack —
     a shallower stack is measurably faster (fewer scratch rows touched per
-    push/pop); ``rays_dropped`` reports any overflow honestly."""
+    push/pop); ``rays_dropped`` reports any overflow honestly.
+
+    ``order``: "sample" (default) assigns round k to primary base + k*L +
+    lane, so a round's 2048 lanes are CONSECUTIVE samples (~20 adjacent
+    pixels at 100 spp) — maximal block coherence for the group slab cull.
+    "pixel" gives each lane R consecutive primaries and accumulates
+    gamma'd PER-PIXEL sums in-kernel; its flush is ~50x cheaper but the
+    round's lanes then span ~2000 pixels and the lost slab-cull coherence
+    costs 2x end-to-end (measured 3.0 s vs 1.46 s on the headline scene
+    even with the flush ablated away) — kept as a measured negative
+    result; see docs/PERFORMANCE.md."""
     import dataclasses
 
     from raytracing_tests_tpu.ops.render import finalize
@@ -514,21 +579,49 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     B = H * W * S
     if cfg.pallas_mode == "spheres":
         accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
-                            sort_origin=camera.position)
+                            sort_origin=camera.position,
+                            probe_rows=cfg.probe_rows)
     else:
         from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
 
         accel = make_accel2g(scene, gr=gr, has_motion=cfg.has_motion,
-                             sort_origin=camera.position)
+                             sort_origin=camera.position,
+                             probe_rows=cfg.probe_rows)
     cam = pack_camera(camera)
     out, stat, NB = _uber_call(accel.otab, accel.ftab3, accel.gaabb, cam,
                                cfg, B, L, R, gr, use_mxu, lts=lts,
-                               n_lights=n_lights)
-    o4 = out.reshape(4, R, NB, L).transpose(2, 1, 3, 0).reshape(NB * R * L, 4)
-    o4 = o4[:B]
-    colors3 = o4[:, :3].reshape(H, W, S, 3)
-    primary_t = o4[:, 3].reshape(H, W, S)
-    res = finalize(colors3, primary_t, cfg)
+                               n_lights=n_lights, order=order)
+    if order == "pixel":
+        # out: (4*NPIX, NB*L) per-pixel sums of gamma'd samples (+ the mid
+        # sample's depth in channel 3).  Global column j's first primary is
+        # (j // L)*R*L + (j % L)*R; slot s lands in pixel first//S + s.
+        NPIX = R // S + 2
+        j = jnp.arange(NB * L)
+        first = (j // L) * (R * L) + (j % L) * R
+        pix = first[None, :] // S + jnp.arange(NPIX)[:, None]  # (NPIX, NBL)
+        vals = out.reshape(4, NPIX, NB * L)
+        img = jnp.zeros((H * W, 3), jnp.float32)
+        img = img.at[pix.reshape(-1)].add(
+            vals[:3].reshape(3, -1).T, mode="drop")
+        depth = jnp.zeros((H * W,), jnp.float32)
+        depth = depth.at[pix.reshape(-1)].add(
+            vals[3].reshape(-1), mode="drop")
+        res = {
+            "image": (img / S).reshape(H, W, 3),
+            "depth": depth.reshape(H, W),
+        }
+    else:
+        o4 = out.reshape(4, R, NB, L).transpose(2, 1, 3, 0).reshape(
+            NB * R * L, 4)
+        o4 = o4[:B]
+        colors3 = o4[:, :3].reshape(H, W, S, 3)
+        primary_t = o4[:, 3].reshape(H, W, S)
+        res = finalize(colors3, primary_t, cfg)
     res["rays"] = jnp.sum(stat[0])
     res["rays_dropped"] = jnp.sum(stat[1])
+    # Occupancy diagnostics: rows 2/3 carry the block's while-loop
+    # iteration and sweep-groups-entered counts (identical across the
+    # block's lanes — read lane 0 of each block).
+    res["iters"] = jnp.sum(stat[2].reshape(NB, L)[:, 0])
+    res["groups_entered"] = jnp.sum(stat[3].reshape(NB, L)[:, 0])
     return res

@@ -84,17 +84,22 @@ def occluded_nearest_obj(scene: Scene, o, d, time_ratio, t_limit):
 
 
 def surrounding_refractive_index(scene: Scene, point, time_ratio):
-    """Mean refractive index of all objects containing ``point``.
+    """Mean refractive index of containing objects with RI != 1.
 
     Mirrors the reference's point-in-AABB accumulation traversal
     (``01_BVH glsl:268-345, 484-502``) but tests the exact primitives
-    directly (the AABB walk is only a culling detail there): accumulate RI of
-    every containing object; if the sum exceeds 1 return sum/count else 1.
+    directly (the AABB walk is only a culling detail there): accumulate RI
+    of every containing OPTICALLY DENSE (ri != 1) object; if the sum
+    exceeds 1 return sum/count else 1.  RI-1 containers are air — they
+    cannot move the result off 1.0 alone, and skipping them keeps the
+    estimate undiluted under geometry overlap while letting the device
+    kernels probe a dielectric-only sub-table (sweep2._ri_probe).
     """
     shift = (1.0 - time_ratio)[:, None, None] * scene.delta_position[None]
     rel = point[:, None, :] - scene.position[None] + shift
     local = jnp.einsum("nji,bnj->bni", scene.rotation, rel, precision=jax.lax.Precision.HIGHEST) / scene.scale[None]
-    inside = geometry.point_in_unit_primitive(local, scene.obj_type[None]) & scene.valid[None]
+    inside = (geometry.point_in_unit_primitive(local, scene.obj_type[None])
+              & scene.valid[None] & (scene.refractive_index[None] != 1.0))
     acc = jnp.sum(jnp.where(inside, scene.refractive_index[None], 0.0), axis=1)
     cnt = jnp.sum(inside.astype(jnp.float32), axis=1)
     return jnp.where(acc > 1.0, acc / jnp.maximum(cnt, 1.0), 1.0)

@@ -201,6 +201,7 @@ def render_megalanes(
     P = H * W
     C = min(chunk, -(-B // block) * block)
     accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
+                        probe_rows=cfg.probe_rows,
                         sort_origin=camera.position)
     o, d, time_ratio, _ = _lane_inputs(camera, cfg)
     ids = jnp.arange(B, dtype=jnp.int32)

@@ -143,7 +143,8 @@ def render_mega(
     assert scene.textures is None, "megakernel path is untextured"
     H, W, S = cfg.height, cfg.width, cfg.spp
     B = H * W * S
-    accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion)
+    accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
+                        probe_rows=cfg.probe_rows)
     o, d, time_ratio, _ = _lane_inputs(camera, cfg)
 
     SB = min(slab, -(-B // block) * block)

@@ -89,17 +89,24 @@ class RenderConfig:
     # ~half-pixel silhouette blur, unbiases d(image)/d(geometry).
     soft_edges: float = 0.0
     has_motion: bool = True  # static no-motion kernel specialization
+    # Static count of dielectric (ri != 1) rows — sizes the trailing
+    # surrounding-RI probe sub-table (sweep2.make_accel2).  -1 = count at
+    # accel-build time (concrete scenes only; traced builds require it).
+    probe_rows: int = -1
 
     def for_scene(self, scene) -> "RenderConfig":
         """Specialize static flags from a CONCRETE (non-traced) scene."""
         from raytracing_tests_tpu.kernels.sweep import scene_has_motion, scene_mode
 
         refr = np.asarray(scene.refractivity) * np.asarray(scene.valid)
+        dmask = np.asarray(scene.valid) & (
+            np.asarray(scene.refractive_index) != 1.0)
         return dataclasses.replace(
             self,
             has_dielectrics=bool((refr > 0.002).any()),
             pallas_mode=scene_mode(scene),
             has_motion=scene_has_motion(scene),
+            probe_rows=int(dmask.sum()),
         )
 
     @property
@@ -729,11 +736,13 @@ def _build_accel(scene, cfg: RenderConfig):
             # shared predicate); assert the two sites stay in lockstep.
             assert fastpath_eligible(cfg), cfg
             return make_diff_accel(scene, has_motion=cfg.has_motion,
-                                   mode=cfg.pallas_mode)
+                                   mode=cfg.pallas_mode,
+                                   probe_rows=cfg.probe_rows)
         if cfg.pallas_v2 and cfg.pallas_mode == "spheres":
             from raytracing_tests_tpu.kernels.sweep2 import make_accel2
 
-            return make_accel2(scene, has_motion=cfg.has_motion)
+            return make_accel2(scene, has_motion=cfg.has_motion,
+                               probe_rows=cfg.probe_rows)
         from raytracing_tests_tpu.kernels.sweep import make_accel
 
         return make_accel(

@@ -133,12 +133,14 @@ def render_uber_sharded(
     B_shard = h * W * S
     if cfg.pallas_mode == "spheres":
         accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
-                            sort_origin=camera.position)
+                            sort_origin=camera.position,
+                            probe_rows=cfg.probe_rows)
     else:
         from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
 
         accel = make_accel2g(scene, gr=gr, has_motion=cfg.has_motion,
-                             sort_origin=camera.position)
+                             sort_origin=camera.position,
+                             probe_rows=cfg.probe_rows)
 
     if lts is None:
         lts = jnp.zeros((1, 8), jnp.float32)

@@ -138,8 +138,14 @@ def _intersect(view: _SceneView, o, d, ratio, t_limit):
 
 
 def _surrounding_ri(view: _SceneView, point, ratio):
+    """Mean RI over containing objects with RI != 1 (optically dense
+    containers; an RI-1 container is air and cannot move the result —
+    skipping it keeps the estimate undiluted when geometry overlaps, and
+    lets the device kernels probe a dielectric-only sub-table)."""
     acc, cnt = 0.0, 0
     for j in range(view.n):
+        if view.refractive_index[j] == 1.0:
+            continue
         R = view.rotation[j]
         shift = (1.0 - ratio) * view.delta_position[j]
         p = (R.T @ (point - view.position[j] + shift)) / view.scale[j]
