@@ -692,9 +692,12 @@ def onehot_gather(matrix, idx, split_bf16: bool = False):
         )
         return jax.lax.dot_general(oh, matrix, dn, preferred_element_type=jnp.float32)
     oh = (idx[:, None] == jnp.arange(N, dtype=idx.dtype)[None, :]).astype(jnp.bfloat16)
-    hi = matrix.astype(jnp.bfloat16)
+    # optimization_barrier: keeps --xla_allow_excess_precision from eliding
+    # the f32->bf16->f32 round-trips (which zeroes mid/lo and quantizes the
+    # gather to bf16); see pack_ftab_splits in sweep2.py.
+    hi = jax.lax.optimization_barrier(matrix.astype(jnp.bfloat16))
     r1 = matrix - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
+    mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     out = None
     for part in (hi, mid, lo):

@@ -156,9 +156,15 @@ def pack_ftab_splits(ftab):
     matmuls against these splits give an exact gather at half the cost of
     the 6-pass f32 HIGHEST emulation (and Mosaic does not support HIGH
     in-kernel at all)."""
-    hi = ftab.astype(jnp.bfloat16)
+    # optimization_barrier: under --xla_allow_excess_precision (set by some
+    # TPU runtimes) XLA's simplifier elides the f32->bf16->f32 round-trip
+    # inside a traced graph, collapsing the residuals to 0 (mid = lo = 0)
+    # and silently quantizing every gathered field to bf16.  The barrier
+    # pins the rounding.  (Eager/op-by-op builds never fused the pair,
+    # which is why only in-jit accel builds were affected.)
+    hi = jax.lax.optimization_barrier(ftab.astype(jnp.bfloat16))
     r1 = ftab - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
+    mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, mid, lo
 

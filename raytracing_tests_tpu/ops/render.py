@@ -223,13 +223,20 @@ class RayQueue:
         """LIFO pop; lanes with empty queues return zeros and active=False."""
         active = self.size > 0
         idx = jnp.maximum(self.size - 1, 0)
-        sel = jax.nn.one_hot(idx, self.origin.shape[1], dtype=self.origin.dtype)  # (B, Q)
-        o = jnp.einsum("bq,bqc->bc", sel, self.origin)
-        d = jnp.einsum("bq,bqc->bc", sel, self.direction)
-        c = jnp.sum(sel * self.contribution, axis=1)
-        b = jnp.sum(sel * self.bounced.astype(sel.dtype), axis=1).astype(jnp.int32)
-        med = jnp.sum(sel * self.medium, axis=1)
-        pmed = jnp.sum(sel * self.parent_medium, axis=1)
+        # Exact one-hot SELECT, not an einsum: on TPU an f32 einsum runs on
+        # the MXU in bf16 passes by default, and bf16-rounding the popped
+        # origins wipes out the 1e-4 surface offsets on child rays ->
+        # silent self-reintersection (2.6x ray blowup on the motion scene,
+        # chip-only; CPU einsum is exact f32 and hid it).
+        sel = jax.nn.one_hot(idx, self.origin.shape[1], dtype=bool)  # (B, Q)
+        pick3 = lambda a: jnp.sum(jnp.where(sel[..., None], a, 0.0), axis=1)
+        pick1 = lambda a: jnp.sum(jnp.where(sel, a, 0), axis=1)
+        o = pick3(self.origin)
+        d = pick3(self.direction)
+        c = pick1(self.contribution)
+        b = pick1(self.bounced)
+        med = pick1(self.medium)
+        pmed = pick1(self.parent_medium)
         new = dataclasses.replace(self, size=self.size - active.astype(jnp.int32))
         return new, active, o, d, c, b, med, pmed
 

@@ -38,6 +38,33 @@ def _rays(rng, n, spread=6.0):
     return jnp.asarray(o), jnp.asarray(d)
 
 
+def test_ftab_splits_exact_under_jit():
+    """hi + mid + lo must reconstruct f32 exactly INSIDE a jitted graph.
+
+    Regression: under ``--xla_allow_excess_precision`` (set by some TPU
+    runtimes) XLA elided the f32->bf16->f32 round-trip in a traced build,
+    zeroing mid/lo and bf16-quantizing every gathered field (a 100-radius
+    ground sphere lost 16 of its r^2 = 10000, so child rays spawned below
+    the surface and self-reintersected).  ``optimization_barrier`` in
+    ``pack_ftab_splits`` pins the rounding; this asserts the in-jit
+    reconstruction stays exact on whatever backend runs the tests."""
+    import jax
+
+    from raytracing_tests_tpu.kernels.sweep2 import pack_ftab_splits
+
+    rng = np.random.default_rng(7)
+    vals = np.float32(rng.uniform(-1.0, 1.0, (24, 128)) * 10.0 ** rng.integers(-3, 5, (24, 128)))
+    vals[0, 0] = 10000.0  # the ground-sphere r^2 that caught it
+
+    @jax.jit
+    def recon(x):
+        hi, mid, lo = pack_ftab_splits(x)
+        return hi.astype(jnp.float32) + mid.astype(jnp.float32) + lo.astype(jnp.float32)
+
+    out = np.asarray(recon(jnp.asarray(vals)))
+    np.testing.assert_array_equal(out, vals)
+
+
 def test_scene_mode_detection():
     assert scene_mode(examples.materials_scene()[0]) == "spheres"
     assert scene_mode(examples.iow_final_scene(side=3)[0]) == "spheres"
