@@ -32,7 +32,7 @@ from raytracing_tests_tpu.scene import examples
 BASELINE_MRAYS_PER_CHIP = 62.5  # 1 Grays/s / 16 chips (BASELINE.md)
 
 
-def _make_fn(renderer, cfg, chunk):
+def _make_fn(renderer, cfg, chunk, R=96):
     if renderer == "uber":
         from raytracing_tests_tpu.kernels.uber import render_uber
 
@@ -43,7 +43,7 @@ def _make_fn(renderer, cfg, chunk):
         # trees have no contribution cutoff.)
         qcap = 3 if cfg.shading == "bvh" else None
         return lambda s, c, lt: render_uber(s, c, cfg, lights=lt, L=2048,
-                                            R=96, gr=64, qcap=qcap)
+                                            R=R, gr=64, qcap=qcap)
     if renderer == "megalanes":
         from raytracing_tests_tpu.ops.megalanes import render_megalanes
 
@@ -64,11 +64,12 @@ def _make_fn(renderer, cfg, chunk):
     return jax.jit(lambda s, c, lt: render_stats(s, c, cfg, lt))
 
 
-def time_config(scene, camera, cfg, renderer, chunk, lights=None, n_iters=3):
+def time_config(scene, camera, cfg, renderer, chunk, lights=None, n_iters=3,
+                R=96):
     """Compile + warm, then time ``n_iters`` frames; returns a detail dict."""
     scene = jax.device_put(scene)
     camera = jax.device_put(camera)
-    fn = _make_fn(renderer, cfg, chunk)
+    fn = _make_fn(renderer, cfg, chunk, R=R)
     out = fn(scene, camera, lights)
     jax.block_until_ready(out["image"])
     rays = int(out["rays"])
@@ -98,14 +99,21 @@ def side_configs(chunk):
         intersector="pallas", **kw,
     ).for_scene(scene)
     out = {}
+    # Motion: the queue renderer wins on this small scene (38.6 vs 23.0
+    # Mrays/s on-chip, identical image + honest ray count post the
+    # bf16-split fix) — few objects means the persistent kernel's queue
+    # machinery dominates while the chunked XLA loop streams cheaply.
     s, c = examples.motion_blur_scene()
-    out["motion"] = (s, c, mk(s), None, "uber")
+    out["motion"] = (s, c, mk(s), None, "queue")
     s, c = examples.bvh_grid_scene(side=32)  # 1,025 objects, generic mode
     out["bvh1k"] = (s, c, mk(s), None, "uber")  # persistent generic kernel
     s, c = examples.texturing_scene()
     out["texturing"] = (s, c, mk(s), None, "queue")
+    # Lights: R=64 — the in-kernel shadow sweep's extra scratch puts the
+    # R=96 variant 1.1M over the 16M scoped-VMEM limit (measured 24.7
+    # Mrays/s at R=64 vs 20.3 on the queue renderer).
     s, c = examples.lights_scene()
-    out["lights"] = (s, c, mk(s), extract_lights(s), "uber")
+    out["lights"] = (s, c, mk(s), extract_lights(s), ("uber", 64))
     # Extra (beyond BASELINE.json's five): the IOW-03 materials shading
     # model on the persistent kernel.
     s, c = examples.materials_scene()
@@ -156,9 +164,10 @@ def main():
     }
     if os.environ.get("BENCH_ALL") == "1" and not smoke:
         for name, (s, c, scfg, lights, srend) in side_configs(chunk).items():
+            srend, R = srend if isinstance(srend, tuple) else (srend, 96)
             try:
                 details["configs"][name] = time_config(
-                    s, c, scfg, srend, chunk, lights=lights, n_iters=2)
+                    s, c, scfg, srend, chunk, lights=lights, n_iters=2, R=R)
             except Exception as e:  # record, keep the sweep going
                 details["configs"][name] = {"error": f"{type(e).__name__}: {e}"}
     with open("bench_details.json", "w") as f:
