@@ -8,15 +8,21 @@ north star: >= 1 Grays/s aggregate on a v4-16, i.e. 62.5 Mrays/s/chip).
 Prints exactly one JSON line:
   {"metric": "...", "value": N, "unit": "Mrays/s/chip", "vs_baseline": N}
 
+Every (non-smoke) run also:
+  - times ALL FIVE BASELINE.json configs (motion / bvh1k / texturing /
+    lights, + the extra materials-shading config) into bench_details.json;
+  - runs an on-chip PARITY CANARY: one small frame through the persistent
+    megakernel AND the XLA queue renderer, asserting the statistical
+    envelope (mean image diff, ray counts, depth agreement) — the chip-only
+    regression gate the CPU test suite cannot be (the bf16-elision
+    corruption of commit caa72cc was invisible to all CPU tests).
+
 Env knobs:
-  BENCH_SMOKE=1     tiny config for CI/CPU smoke runs
+  BENCH_SMOKE=1     tiny config for CI/CPU smoke runs (headline only)
   BENCH_CHUNK=N     lanes per lax.map step (peak-memory bound)
   BENCH_SPP=N       override samples per pixel (headline config)
-  BENCH_RENDERER    uber (default) | megalanes | queue | mega |
-                    workqueue | wavefront
-  BENCH_ALL=1       also time the other four BASELINE.json configs
-                    (motion / bvh1k / texturing / lights) into
-                    bench_details.json
+  BENCH_RENDERER    uber (default) | megalanes | queue | workqueue
+  BENCH_SKIP_SIDE=1 headline + canary only (skip the four side configs)
 """
 
 import json
@@ -49,18 +55,10 @@ def _make_fn(renderer, cfg, chunk, R=96):
 
         return lambda s, c, lt: render_megalanes(
             s, c, cfg, chunk=chunk, gr=128, schedule="natural")
-    if renderer == "mega":
-        from raytracing_tests_tpu.ops.megaqueue import render_mega
-
-        return lambda s, c, lt: render_mega(s, c, cfg, chunk=chunk)
     if renderer == "workqueue":
         from raytracing_tests_tpu.ops.workqueue import render_workqueue
 
         return lambda s, c, lt: render_workqueue(s, c, cfg, chunk=chunk)
-    if renderer == "wavefront":
-        from raytracing_tests_tpu.ops.wavefront import render_wavefront
-
-        return lambda s, c, lt: render_wavefront(s, c, cfg, chunk=chunk)
     return jax.jit(lambda s, c, lt: render_stats(s, c, cfg, lt))
 
 
@@ -90,10 +88,45 @@ def time_config(scene, camera, cfg, renderer, chunk, lights=None, n_iters=3,
     }
 
 
+def parity_canary(chunk):
+    """Uber vs queue on one small iow-final frame, on whatever backend this
+    bench runs on.  Asserts the statistical envelope (grazing-sample ulp
+    flips are expected across compilation contexts — PERFORMANCE.md fact
+    14); everything structural must agree.  Returns a detail dict."""
+    scene, camera = examples.iow_final_scene()
+    cfg = RenderConfig(width=200, height=112, spp=8, max_bounces=6,
+                       lane_chunk=chunk,
+                       intersector="pallas").for_scene(scene)
+    from raytracing_tests_tpu.kernels.uber import render_uber
+
+    ou = render_uber(scene, camera, cfg, L=2048, R=8, gr=64)
+    oq = jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, camera)
+    iu = np.asarray(ou["image"])
+    iq = np.asarray(oq["image"])
+    ru, rq = int(ou["rays"]), int(oq["rays"])
+    mean_diff = float(np.abs(iu.mean(axis=(0, 1)) - iq.mean(axis=(0, 1))).max())
+    ray_ratio = ru / max(rq, 1)
+    du = np.asarray(ou["depth"])
+    dq = np.asarray(oq["depth"])
+    depth_near = np.minimum(du, 100.0)
+    depth_disagree = float(
+        (np.abs(depth_near - np.minimum(dq, 100.0)) > 1e-2).mean())
+    detail = {
+        "mean_image_diff": mean_diff,
+        "ray_count_ratio": ray_ratio,
+        "depth_disagree_frac": depth_disagree,
+        "rays_dropped": int(ou["rays_dropped"]),
+    }
+    ok = (mean_diff < 5e-3 and abs(ray_ratio - 1.0) < 0.02
+          and depth_disagree < 0.01 and int(ou["rays_dropped"]) == 0)
+    detail["ok"] = bool(ok)
+    return detail
+
+
 def side_configs(chunk):
     """The other four BASELINE.json benchmark configs (16 spp keeps the
     whole sweep to a few frames each; the headline stays 100 spp).
-    Each entry: (scene, camera, cfg, lights, renderer)."""
+    Each entry: (scene, camera, cfg, lights, renderer[, R])."""
     mk = lambda scene, **kw: RenderConfig(
         width=800, height=450, spp=16, max_bounces=8, lane_chunk=chunk,
         intersector="pallas", **kw,
@@ -108,7 +141,7 @@ def side_configs(chunk):
     s, c = examples.bvh_grid_scene(side=32)  # 1,025 objects, generic mode
     out["bvh1k"] = (s, c, mk(s), None, "uber")  # persistent generic kernel
     s, c = examples.texturing_scene()
-    out["texturing"] = (s, c, mk(s), None, "queue")
+    out["texturing"] = (s, c, mk(s), None, "uber")
     # Lights: R=64 — the in-kernel shadow sweep's extra scratch puts the
     # R=96 variant 1.1M over the 16M scoped-VMEM limit (measured 24.7
     # Mrays/s at R=64 vs 20.3 on the queue renderer).
@@ -146,32 +179,43 @@ def main():
                        n_iters=1 if smoke else 3)
     assert head["rays_dropped"] == 0, head  # honest ray accounting
     mrays = head["mrays_per_s"]
-    print(
-        json.dumps(
-            {
-                "metric": f"Mrays/s/chip {'smoke' if smoke else 'iow-final'} {width}x{height}x{spp}spp d{cfg.max_bounces}",
-                "value": mrays,
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / BASELINE_MRAYS_PER_CHIP, 3),
-            }
-        )
-    )
+
     details = {
         "device": str(jax.devices()[0]),
         "platform": jax.devices()[0].platform,
         "lane_chunk": chunk,
         "configs": {"iow-final": head},
     }
-    if os.environ.get("BENCH_ALL") == "1" and not smoke:
-        for name, (s, c, scfg, lights, srend) in side_configs(chunk).items():
-            srend, R = srend if isinstance(srend, tuple) else (srend, 96)
-            try:
-                details["configs"][name] = time_config(
-                    s, c, scfg, srend, chunk, lights=lights, n_iters=2, R=R)
-            except Exception as e:  # record, keep the sweep going
-                details["configs"][name] = {"error": f"{type(e).__name__}: {e}"}
+    parity_ok = None
+    if not smoke:
+        details["parity_canary"] = parity_canary(chunk)
+        parity_ok = details["parity_canary"]["ok"]
+        if os.environ.get("BENCH_SKIP_SIDE") != "1":
+            for name, (s, c, scfg, lights, srend) in side_configs(chunk).items():
+                srend, R = srend if isinstance(srend, tuple) else (srend, 96)
+                try:
+                    details["configs"][name] = time_config(
+                        s, c, scfg, srend, chunk, lights=lights, n_iters=2,
+                        R=R)
+                except Exception as e:  # record, keep the sweep going
+                    details["configs"][name] = {
+                        "error": f"{type(e).__name__}: {e}"}
+
+    line = {
+        "metric": f"Mrays/s/chip {'smoke' if smoke else 'iow-final'} {width}x{height}x{spp}spp d{cfg.max_bounces}",
+        "value": mrays,
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS_PER_CHIP, 3),
+    }
+    if parity_ok is not None:
+        line["parity_ok"] = parity_ok
+    print(json.dumps(line))
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
+        f.write("\n")
+    if parity_ok is False:
+        raise SystemExit("parity canary FAILED: " +
+                         json.dumps(details["parity_canary"]))
 
 
 if __name__ == "__main__":

@@ -58,8 +58,6 @@ def _cmd_render(args):
         kw["intersector"] = "bvh"
     if args.pallas:
         kw["intersector"] = "pallas"
-    if args.wavefront:
-        kw["wavefront"] = True
     if args.uber:
         kw["uber"] = True
         kw["intersector"] = "pallas"
@@ -207,7 +205,6 @@ def main(argv=None):
     pr.add_argument("--normals", action="store_true", help="debug normals view")
     pr.add_argument("--bvh", action="store_true", help="use the LBVH intersector")
     pr.add_argument("--pallas", action="store_true", help="use the Pallas sweep kernels")
-    pr.add_argument("--wavefront", action="store_true", help="use the compacting wavefront renderer")
     pr.add_argument("--uber", action="store_true",
                     help="use the persistent megakernel (fastest; untextured "
                     "bvh-shading scenes)")

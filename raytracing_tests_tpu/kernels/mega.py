@@ -14,9 +14,9 @@ Scope (asserted by the caller): sphere-mode scenes, 'bvh' shading, no
 emissive lights, no textures — exactly the headline benchmark family.  The
 general renderer (``ops.render``) remains the fully-featured path.
 
-Pool record layout (16 rows x lanes, f32) shared with ``ops.megaqueue``:
-rows 0-2 origin, 3-5 direction, 6 omt (1 - time_ratio), 7 t_limit,
-8 contribution, 9 bounced, 10-15 spare (16 rows = two f32 sublane tiles).
+Pool record layout (16 rows x lanes, f32) shared with ``ops.megalanes`` and
+``kernels.uber``: rows 0-2 origin, 3-5 direction, 6 omt (1 - time_ratio),
+7 t_limit, 8 contribution, 9 bounced, 10-15 spare (two f32 sublane tiles).
 """
 
 from __future__ import annotations

@@ -42,7 +42,6 @@ def _rt_run(scene_fn, defaults: dict, lights: bool = False):
         intersector: Optional[str] = None,
         lane_chunk: Optional[int] = None,
         mesh=None,
-        wavefront: bool = False,
         uber: bool = False,
         **scene_kw,
     ):
@@ -72,10 +71,6 @@ def _rt_run(scene_fn, defaults: dict, lights: bool = False):
             from raytracing_tests_tpu.parallel import render_sharded_jit
 
             out = render_sharded_jit(scene, camera, cfg, mesh, lt)
-        elif wavefront:
-            from raytracing_tests_tpu.ops.wavefront import render_wavefront
-
-            out = render_wavefront(scene, camera, cfg, lt)
         else:
             out = render_jit(scene, camera, cfg, lt)
         return dict(out, scene=scene, camera=camera, cfg=cfg)

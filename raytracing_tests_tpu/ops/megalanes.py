@@ -1,6 +1,7 @@
 """Lane-aligned megakernel renderer: the headline-bench fast path.
 
-Profiling the compaction-based driver (``ops.megaqueue``) on a real v5e
+Profiling the compaction-based driver (retired ``ops.megaqueue``, in git
+history) on a real v5e
 showed the TPU truth: scatters and multi-operand sorts over million-lane 1D
 arrays cost ~8-25 ms PER ITERATION in situ — an order of magnitude more
 than the fused Pallas megakernel they were feeding (scripts/megaprof.py).

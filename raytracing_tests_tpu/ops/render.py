@@ -376,8 +376,8 @@ def _nearest_obj(scene, accel, o, d, time_ratio, t_limit):
 class ShadeResult:
     """Everything one shading step produces for a batch of rays: color to
     accumulate, spawned child rays, and bookkeeping.  Shared by the per-lane
-    queue renderer (below) and the compacting wavefront renderer
-    (``ops.wavefront``)."""
+    queue renderer (below) and the compacting work-queue renderer
+    (``ops.workqueue``)."""
 
     add_color: jnp.ndarray  # (C, 3) contribution to accumulate
     set_white: jnp.ndarray  # (C,) emissive abort: sample becomes pure white

@@ -1,6 +1,7 @@
 """Device-side work-queue renderer: the whole bounce loop in one jit.
 
-Evolution of the round-based wavefront (``ops.wavefront``): profiling on a
+Evolution of the round-based wavefront (retired ``ops.wavefront``, in git
+history): profiling on a
 tunneled v5e showed ~28 ms of host RPC latency per bounce round plus
 lockstep waste on small tail rounds.  This renderer removes both:
 

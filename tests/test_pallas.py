@@ -1,5 +1,6 @@
-"""Pallas sweep kernels (interpret mode on CPU) + the compacting wavefront
-renderer: parity with the XLA dense sweep and the queue renderer."""
+"""Pallas sweep kernels (interpret mode on CPU) + the work-queue and
+megakernel renderers: parity with the XLA dense sweep and the queue
+renderer."""
 
 import dataclasses
 
@@ -19,7 +20,6 @@ from raytracing_tests_tpu.ops.intersect import (
     surrounding_refractive_index,
 )
 from raytracing_tests_tpu.ops.render import RenderConfig, extract_lights, render
-from raytracing_tests_tpu.ops.wavefront import render_wavefront
 from raytracing_tests_tpu.scene import examples
 
 SCENES = {
@@ -122,38 +122,6 @@ def test_pallas_render_matches_brute(name):
 
 
 @pytest.mark.parametrize("name", list(SCENES))
-def test_wavefront_matches_queue(name):
-    scene_fn, use_lights = SCENES[name]
-    scene, cam = scene_fn()
-    lt = extract_lights(scene) if use_lights else None
-    cfg = RenderConfig(
-        width=24, height=16, spp=2, max_bounces=3, intersector="pallas"
-    ).for_scene(scene)
-    rq = render(scene, cam, cfg, lt)
-    rw = render_wavefront(scene, cam, cfg, lt, chunk=512)
-    np.testing.assert_allclose(
-        np.asarray(rq["image"]), np.asarray(rw["image"]), atol=2e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(rq["depth"]), np.asarray(rw["depth"]), atol=1e-4
-    )
-    assert int(rw["rays"]) > 0
-
-
-def test_wavefront_tiny_chunk_edge():
-    """Chunk not dividing the lane count; lanes < one chunk."""
-    scene, cam = examples.materials_scene()
-    cfg = RenderConfig(
-        width=7, height=5, spp=3, max_bounces=3, intersector="pallas"
-    ).for_scene(scene)
-    rq = render(scene, cam, cfg)
-    rw = render_wavefront(scene, cam, cfg, chunk=256)
-    np.testing.assert_allclose(
-        np.asarray(rq["image"]), np.asarray(rw["image"]), atol=2e-5
-    )
-
-
-@pytest.mark.parametrize("name", list(SCENES))
 def test_workqueue_matches_queue(name):
     from raytracing_tests_tpu.ops.workqueue import render_workqueue
 
@@ -188,38 +156,8 @@ def test_workqueue_odd_sizes():
 
 
 # ---------------------------------------------------------------------------
-# Round 2: forward megakernel (kernels/mega.py + ops/megaqueue.py)
+# Round 2: forward megakernel (kernels/mega.py via ops/megalanes.py)
 # ---------------------------------------------------------------------------
-
-
-@pytest.mark.parametrize("scene_name", ["iow", "motion"])
-def test_megakernel_matches_queue(scene_name):
-    """Fused sweep+gather+RI+shade kernel == the queue renderer, including
-    the traced-ray count and depth map (same ray tree)."""
-    from raytracing_tests_tpu.ops.megaqueue import render_mega
-
-    if scene_name == "iow":
-        scene, cam = examples.iow_final_scene()
-    else:
-        scene, cam = examples.motion_blur_scene()
-    cfg = RenderConfig(
-        width=48, height=32, spp=2, max_bounces=4, intersector="pallas"
-    ).for_scene(scene)
-    oq = render(scene, cam, cfg)
-    om = render_mega(scene, cam, cfg, chunk=4096, block=2048)
-    iq, im = np.asarray(oq["image"]), np.asarray(om["image"])
-    # On TPU the two paths are bit-for-bit (verified on v5e).  Interpret mode
-    # reorders float ops, which can flip a spawn-threshold branch (contrib >
-    # 0.01, TIR disc ~ 0) on a handful of deep-bounce lanes — allow <=0.5%
-    # of pixels to disagree, bounded by one bounce's worth of contribution.
-    bad = np.abs(iq - im).max(axis=-1) > 2e-4
-    assert bad.mean() <= 0.005, (bad.sum(), np.abs(iq - im).max())
-    # A flipped tangent-hit sample at 2 spp can move its pixel by ~0.5 x
-    # one sample's weight; the fraction guard above is the real assertion.
-    assert np.abs(iq - im).max() < 0.6
-    ddiff = np.abs(np.asarray(oq["depth"]) - np.asarray(om["depth"]))
-    assert (ddiff > 1e-3).mean() <= 0.005, (ddiff > 1e-3).sum()
-    assert int(om["rays_dropped"]) == 0
 
 
 @pytest.mark.parametrize("schedule", ["natural", "sorted"])
