@@ -53,15 +53,14 @@ class DiffAccel:
 
 
 def fastpath_eligible(cfg) -> bool:
-    """Single source of truth for when the fast gradient path applies:
-    the Pallas intersector, and either sphere mode (full support incl.
-    ``soft_edges``) or generic mode with hard winners only (the soft-edge
-    silhouette metric is sphere-specific).  Used by BOTH
-    ``diff.train.render_loss`` (to set ``diff_mode``) and
+    """Single source of truth for when the fast gradient path applies: the
+    Pallas intersector, both scene modes, with or without ``soft_edges``
+    (round 3: the generic grouped sweep grew its own silhouette-candidate
+    output, and the coverage blend below has a rotated-frame form).  Used
+    by BOTH ``diff.train.render_loss`` (to set ``diff_mode``) and
     ``ops.render._build_accel`` (to build the ``DiffAccel``) — keep them
     in lockstep through this predicate."""
-    return cfg.intersector == "pallas" and (
-        cfg.pallas_mode == "spheres" or cfg.soft_edges == 0.0)
+    return cfg.intersector == "pallas"
 
 
 def make_diff_accel(scene, has_motion: bool = True,
@@ -102,21 +101,28 @@ def intersect_diff(accel: DiffAccel, scene, o, d, time_ratio, t_limit,
 
     ``soft > 0`` enables the EDGE-AWARE estimator: lanes that narrowly miss
     every object adopt the kernel's silhouette candidate, and all lanes get
-    a smooth coverage ``alpha`` = sigmoid(-(h - r) / (soft * t)) of their
-    candidate (h = ray-line distance to the center).  Hard visibility
-    becomes a differentiable blend over a ~``soft * t``-wide world-space
-    band, so d(image)/d(position, radius) carries the silhouette term that
-    plain autodiff through the discontinuous hit mask loses.  ``alpha`` is
-    None when ``soft == 0``.
+    a smooth coverage ``alpha`` of their candidate.  Sphere mode:
+    sigmoid(-(h - r) / (soft * t)) with h the world ray-line distance to
+    the center.  Generic mode: the same blend in the object's LOCAL UNIT
+    frame (rotate by R^T, divide by scale; ellipsoid silhouette at
+    |h_local| = 1, cuboid at Chebyshev distance 0.5 of the closest-approach
+    point), rescaled to world units by the geometric-mean scale.  Hard
+    visibility becomes a differentiable blend over a ~``soft * t``-wide
+    world-space band, so d(image)/d(position, radius, rotation) carries the
+    silhouette term that plain autodiff through the discontinuous hit mask
+    loses.  ``alpha`` is None when ``soft == 0``.
     """
     sg = jax.lax.stop_gradient
     if soft > 0.0:
-        assert accel.mode == "spheres", (
-            "soft_edges estimator is sphere-mode only (the silhouette "
-            "metric is perp-distance/radius); generic scenes train with "
-            "hard winners or the dense sweep")
-        _, obj_sorted, edge_sorted = sweep2_nearest_edge(
-            accel.inner, sg(o), sg(d), sg(time_ratio), sg(t_limit))
+        if accel.mode == "spheres":
+            _, obj_sorted, edge_sorted = sweep2_nearest_edge(
+                accel.inner, sg(o), sg(d), sg(time_ratio), sg(t_limit))
+        else:
+            from raytracing_tests_tpu.kernels.sweep2g import (
+                sweep2g_nearest_edge)
+
+            _, obj_sorted, edge_sorted = sweep2g_nearest_edge(
+                accel.inner, sg(o), sg(d), sg(time_ratio), sg(t_limit))
         perm = accel.inner.perm
         obj = jnp.where(obj_sorted >= 0, perm[jnp.maximum(obj_sorted, 0)], -1)
         edge = jnp.where(edge_sorted >= 0, perm[jnp.maximum(edge_sorted, 0)], -1)
@@ -143,17 +149,43 @@ def intersect_diff(accel: DiffAccel, scene, o, d, time_ratio, t_limit,
 
     alpha = None
     if soft > 0.0:
-        # Isotropic coverage: h = distance from center to the ray line,
-        # evaluated at the closest-approach point t_cl (> 0 by the kernel's
-        # forward filter). Smooth both sides of the silhouette.
-        a = jnp.maximum(jnp.sum(d * d, axis=1), 1e-20)
-        half_b = jnp.sum(rel * d, axis=1)
-        t_cl = -half_b / a
-        h2 = jnp.sum(rel * rel, axis=1) - half_b * half_b / a
-        h = jnp.sqrt(jnp.maximum(h2, 1e-20))
-        r_iso = scale[:, 0]
-        band = soft * jnp.maximum(jnp.abs(t_cl), 1e-3)
-        alpha = jax.nn.sigmoid(-(h - r_iso) / band)
+        if accel.mode == "spheres":
+            # Isotropic coverage: h = distance from center to the ray line,
+            # evaluated at the closest-approach point t_cl (> 0 by the
+            # kernel's forward filter). Smooth both sides of the silhouette.
+            a = jnp.maximum(jnp.sum(d * d, axis=1), 1e-20)
+            half_b = jnp.sum(rel * d, axis=1)
+            t_cl = -half_b / a
+            h2 = jnp.sum(rel * rel, axis=1) - half_b * half_b / a
+            h = jnp.sqrt(jnp.maximum(h2, 1e-20))
+            r_iso = scale[:, 0]
+            band = soft * jnp.maximum(jnp.abs(t_cl), 1e-3)
+            alpha = jax.nn.sigmoid(-(h - r_iso) / band)
+        else:
+            # Rotated-frame coverage: the closest-approach point of the
+            # ray to the object in its LOCAL UNIT space (lo/scale, ld/scale
+            # — the fastpath transform above, divided by scale so the
+            # ellipsoid is the unit sphere and the cuboid the unit cube).
+            # The silhouette distance is |q| - 1 (ellipsoid) or the
+            # Chebyshev max|q| - 0.5 (cuboid); both rescale to world units
+            # by the geometric-mean scale so the band stays ~soft * t wide.
+            ssafe = jnp.maximum(scale, 1e-20)
+            lo_s = lo / ssafe
+            ld_s = ld / ssafe
+            a = jnp.maximum(jnp.sum(ld_s * ld_s, axis=1), 1e-20)
+            half_b = jnp.sum(lo_s * ld_s, axis=1)
+            t_cl = -half_b / a  # world ray parameter (same t either frame)
+            q = lo_s + t_cl[:, None] * ld_s
+            h_ell = jnp.sqrt(jnp.maximum(jnp.sum(q * q, axis=1), 1e-20))
+            h_cub = jnp.max(jnp.abs(q), axis=1)
+            from raytracing_tests_tpu.core import geometry as _geom
+
+            is_ell = otype == _geom.ELLIPSOID
+            # Distance past the silhouette, in local units -> world units.
+            over = jnp.where(is_ell, h_ell - 1.0, 2.0 * (h_cub - 0.5))
+            r_geo = jnp.exp(jnp.mean(jnp.log(ssafe), axis=1))
+            band = soft * jnp.maximum(jnp.abs(t_cl), 1e-3)
+            alpha = jax.nn.sigmoid(-(over * r_geo) / band)
         alpha = jnp.where(hit, alpha, 0.0)
         # Geometric-miss lanes (adopted candidates) hit at the tangent point.
         real = t < 2.9e38

@@ -38,15 +38,13 @@ def render_loss(
     """Mean-squared pixel error of the (possibly sharded) render vs target."""
     from raytracing_tests_tpu.diff.fastpath import fastpath_eligible
 
-    if cfg.soft_edges > 0.0 and not (
-            cfg.intersector == "pallas" and cfg.pallas_mode == "spheres"):
+    if cfg.soft_edges > 0.0 and cfg.intersector != "pallas":
         # No other path implements the estimator — silently ignoring the
         # flag would hand back exactly the biased silhouette gradients it
         # exists to fix.
         raise ValueError(
-            "soft_edges requires the sphere-mode Pallas fast gradient path "
-            "(intersector='pallas' on an isotropic-sphere scene); generic "
-            "scenes train with hard winners (soft_edges=0)")
+            "soft_edges requires the Pallas fast gradient path "
+            "(intersector='pallas'); both scene modes are supported")
     if fastpath_eligible(cfg):
         # Fast gradient path: detached Pallas winner-finding + closed-form
         # recompute of the winner's hit (diff/fastpath.py) — both scene

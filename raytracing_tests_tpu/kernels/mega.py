@@ -56,9 +56,16 @@ def _cross_up(dx, dy, dz):
     return rx, ry, rz, ux, uy, uz
 
 
-def _deviate(dx, dy, dz, sidx, spp: int, tan_theta):
+def _deviate(dx, dy, dz, sidx, spp: int, tan_theta, trig=None):
     """``sampling.deviate_within_cone`` on planes: sunflower offset in the
-    plane of cross(d, up) x cross(., d), scaled by the reference's 0.1."""
+    plane of cross(d, up) x cross(., d), scaled by the reference's 0.1.
+
+    ``trig``: optional carried (cos th, sin th) planes for th =
+    GOLDEN_ANGLE * sidx — the SAME angle every sunflower/fibonacci user
+    needs, and ``sidx`` is constant for a lane's whole round, so the
+    persistent kernel computes the pair once at ray regeneration (Mosaic
+    lowers vector sin/cos expensively: carrying them measured ~8 us/iter
+    on low-spp configs)."""
     n = float(spp)
     b = float(np.round(2.0 * np.sqrt(n)))
     denom = n - (b + 1.0) / 2.0
@@ -68,9 +75,11 @@ def _deviate(dx, dy, dz, sidx, spp: int, tan_theta):
         sidx > n - b, half, half * jnp.sqrt(jnp.maximum(sidx - 0.5, 0.0) / denom)
     )
     r = jnp.where(sidx == 0.0, 0.0, r)
-    th = GOLDEN_ANGLE * sidx
-    offx = r * jnp.cos(th)
-    offy = r * jnp.sin(th)
+    if trig is None:
+        th = GOLDEN_ANGLE * sidx
+        trig = (jnp.cos(th), jnp.sin(th))
+    offx = r * trig[0]
+    offy = r * trig[1]
     rx, ry, rz, ux, uy, uz = _cross_up(dx, dy, dz)
     vx = dx + 0.1 * (offx * rx + offy * ux)
     vy = dy + 0.1 * (offx * ry + offy * uy)
@@ -83,7 +92,7 @@ def trace_shade_block(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
                       ox, oy, oz, dx, dy, dz, omt, tlim, contrib, bounced,
                       active, sidx, t_sc, obj_sc, *, n_pad, n_groups, gr,
                       has_motion, has_dielectrics, spp, max_bounces, t_max,
-                      bg_bottom, bg_top, use_mxu, n_pgroups=0):
+                      bg_bottom, bg_top, use_mxu, n_pgroups=0, tex=None):
     """Sweep + gather + refine + surrounding-RI + INW shading + child-ray
     construction for one lane block — the whole per-ray pipeline on (1, L)
     planes.  Shared by the chunked megakernel and the persistent kernel.
@@ -118,26 +127,69 @@ def trace_shade_block(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
         n_groups=n_groups, gr=gr, has_motion=has_motion,
         has_dielectrics=has_dielectrics, spp=spp,
         max_bounces=max_bounces, t_max=t_max, use_mxu=use_mxu,
-        n_pgroups=n_pgroups)
+        n_pgroups=n_pgroups, tex=tex)
 
 
 def _gather_refine(fhi_ref, fmid_ref, flo_ref, obj_best, ox, oy, oz,
                    dx, dy, dz, omt, t_best, hit, *, n_pad, has_motion,
                    mode):
     """One-hot winner gather + mode-dispatched exact re-intersection.
-    Returns (rows, (t_best, t_safe, px, py, pz, nx, ny, nz)) — the shared
-    prelude of every shading model."""
+    Returns (rows, (t_best, t_safe, px, py, pz, nx, ny, nz, lpx, lpy, lpz))
+    — the shared prelude of every shading model.  (lpx, lpy, lpz) is the
+    unit-space hit position for cube-sphere texturing; for isotropic
+    spheres it IS the unit normal (``Hit.local_pos`` convention)."""
     L = ox.shape[1]
     rows = _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best, n_pad, L)
     if mode == "spheres":
         refined = _winner_refine(rows, ox, oy, oz, dx, dy, dz, omt,
                                  t_best, hit, has_motion)
+        refined = refined + refined[5:8]  # local_pos == normal
     else:
         from raytracing_tests_tpu.kernels.sweep2g import _winner_refine_g
 
         refined = _winner_refine_g(rows, ox, oy, oz, dx, dy, dz, omt,
                                    t_best, hit, has_motion)
     return rows, refined
+
+
+def _texture_color(rows, lpx, lpy, lpz, did_hit, tex):
+    """Albedo rows, cube-sphere-atlas-modulated where the winner carries a
+    texture index (the in-kernel shape of ``ops.render._material_color``,
+    03_Texturing glsl:353-414).  ``tex`` = (thi_ref, tmid_ref, tlo_ref,
+    (T, H, W6, THp, W6p)) or None.  The sampler is gated on any lane
+    needing it — untextured blocks pay two compares."""
+    cr = rows[FT_CR : FT_CR + 1]
+    cg = rows[FT_CG : FT_CG + 1]
+    cb = rows[FT_CB : FT_CB + 1]
+    if tex is None:
+        return cr, cg, cb
+    from raytracing_tests_tpu.kernels.sweep2 import FT_TEX
+    from raytracing_tests_tpu.kernels.texture import sample_atlas_k
+
+    thi_ref, tmid_ref, tlo_ref, (T, H, W6, THp, W6p) = tex
+    ti = rows[FT_TEX : FT_TEX + 1]
+    # round() like _rows_to_hit: the gather carries ~1e-4 absolute error.
+    ti = jnp.floor(ti + 0.5)
+    need = did_hit & (ti > 0.5)
+    L = ti.shape[1]
+
+    def body(tc_sc):
+        tc_sc[:] = jnp.ones((3, L), jnp.float32)
+
+        @pl.when(jnp.any(need))
+        def _():
+            tr, tg, tb = sample_atlas_k(
+                thi_ref, tmid_ref, tlo_ref, ti, lpx, lpy, lpz,
+                T=T, H=H, W6=W6, THp=THp, W6p=W6p)
+            tc_sc[:] = jnp.concatenate([tr, tg, tb], axis=0)
+
+        return tc_sc[:]
+
+    tc = pl.run_scoped(body, tc_sc=pltpu.VMEM((3, L), jnp.float32))
+    cr = jnp.where(need, cr * tc[0:1], cr)
+    cg = jnp.where(need, cg * tc[1:2], cg)
+    cb = jnp.where(need, cb * tc[2:3], cb)
+    return cr, cg, cb
 
 
 def _norm3(x, y, z, eps):
@@ -150,15 +202,18 @@ def _cross3(ax, ay, az, bx, by, bz):
     return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
 
 
-def _fibonacci_hemisphere_k(sidx, spp, s, fx, fy, fz):
+def _fibonacci_hemisphere_k(sidx, spp, s, fx, fy, fz, trig=None):
     """``sampling.fibonacci_hemisphere`` on (1, L) planes: deterministic
-    scatter around the focus direction on a scaled fibonacci sphere."""
+    scatter around the focus direction on a scaled fibonacci sphere.
+    ``trig``: carried (cos, sin) of GOLDEN_ANGLE * sidx (see ``_deviate``)."""
     n = float(spp)
     y = 1.0 - sidx / max(n - 1.0, 1.0)
     radius = jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0))
-    theta = GOLDEN_ANGLE * sidx
-    x = jnp.cos(theta) * radius
-    z = jnp.sin(theta) * radius
+    if trig is None:
+        theta = GOLDEN_ANGLE * sidx
+        trig = (jnp.cos(theta), jnp.sin(theta))
+    x = trig[0] * radius
+    z = trig[1] * radius
     x, y, z = x * s, y * s, z * s
     # z_cap = normalize(cross(up, f)) with up = (0,1,0) -> (fz, 0, -fx)
     zcx, zcy, zcz = _norm3(fz, jnp.zeros_like(fz), -fx, 1e-20)
@@ -171,9 +226,9 @@ def _fibonacci_hemisphere_k(sidx, spp, s, fx, fy, fz):
 
 
 def _shade_materials_k(rows, t_best, t_safe, px, py, pz, nx, ny, nz,
-                       dx, dy, dz, omt, contrib, bounced, active, sidx,
-                       medium, parent_medium, hit, bgr, bgg, bgb, *,
-                       spp, max_bounces, t_max):
+                       lpx, lpy, lpz, dx, dy, dz, omt, contrib, bounced,
+                       active, sidx, medium, parent_medium, hit, bgr, bgg,
+                       bgb, *, spp, max_bounces, t_max, tex=None, trig=None):
     """``ops.render._shade_materials`` on (1, L) planes — the IOW-03
     Shirley-materials spawn model (03_Shadows_and_Materials glsl:291-353):
     per-ray medium RI (depth-2 stack carried in the pool record), Schlick
@@ -237,7 +292,8 @@ def _shade_materials_k(rows, t_best, t_safe, px, py, pz, nx, ny, nz,
     rbx = jnp.where(use_lift, mrx, rmx)
     rby = jnp.where(use_lift, mry, rmy)
     rbz = jnp.where(use_lift, mrz, rmz)
-    rdx, rdy, rdz = _fibonacci_hemisphere_k(sidx, spp, srfl, rbx, rby, rbz)
+    rdx, rdy, rdz = _fibonacci_hemisphere_k(sidx, spp, srfl, rbx, rby, rbz,
+                                            trig=trig)
     tin = tir & inner
     rdx = jnp.where(tin, rbx, rdx)
     rdy = jnp.where(tin, rby, rdy)
@@ -262,14 +318,16 @@ def _shade_materials_k(rows, t_best, t_safe, px, py, pz, nx, ny, nz,
     fry = ratio_sin * n2y + sq * xcy
     frz = ratio_sin * n2z + sq * xcz
     fbx, fby, fbz = _norm3(frx, fry, frz, 1e-20)
-    fdx, fdy, fdz = _fibonacci_hemisphere_k(sidx, spp, srfr, fbx, fby, fbz)
+    fdx, fdy, fdz = _fibonacci_hemisphere_k(sidx, spp, srfr, fbx, fby, fbz,
+                                            trig=trig)
     spawn_refr = hit & depth_ok & ~tir & (contrib * refr_c > 0.0)
 
     # Local term: contribution^2 * albedo (glsl:250 + :304).
+    mcr, mcg, mcb = _texture_color(rows, lpx, lpy, lpz, hit, tex)
     hit_c = jnp.where(hit, contrib * contrib, 0.0)
-    add_r = add_r + hit_c * rows[FT_CR : FT_CR + 1]
-    add_g = add_g + hit_c * rows[FT_CG : FT_CG + 1]
-    add_b = add_b + hit_c * rows[FT_CB : FT_CB + 1]
+    add_r = add_r + hit_c * mcr
+    add_g = add_g + hit_c * mcg
+    add_b = add_b + hit_c * mcb
     hit_t = jnp.where(hit, t_best, t_max)
 
     tmax_row = jnp.full((1, L), t_max, jnp.float32)
@@ -292,7 +350,7 @@ def _shade_materials_k(rows, t_best, t_safe, px, py, pz, nx, ny, nz,
 def _shadow_factor_k(otab_ref, gaabb_ref, fhi_ref, lights_ref,
                      px, py, pz, nx, ny, nz, omt, sidx, did_hit, *,
                      n_pad, n_groups, gr, has_motion, use_mxu, mode,
-                     spp, n_lights):
+                     spp, n_lights, gkinds=None, n_sgroups=0, sg0=0):
     """In-kernel fraction of lights visible from the hit point — the
     persistent-kernel shape of ``ops.render._shadow_factor`` (lights
     glsl:604-660).  One occlusion sweep per light: the shadow ray aims at a
@@ -353,7 +411,8 @@ def _shadow_factor_k(otab_ref, gaabb_ref, fhi_ref, lights_ref,
                 _sweep_loop_g(otab_ref, gaabb_ref, sox, soy, soz,
                               ddx, ddy, ddz, omt, did_hit, tlim, st_sc,
                               so_sc, n_groups=n_groups, gr=gr,
-                              has_motion=has_motion)
+                              has_motion=has_motion, gkinds=gkinds,
+                              n_sgroups=n_sgroups, sg0=sg0)
             obj_s = so_sc[:]
             rid_full = _jax.lax.broadcasted_iota(jnp.int32, (n_pad, L), 0)
             oh = (rid_full == obj_s).astype(jnp.bfloat16)
@@ -379,11 +438,13 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
                 t_best, obj_best, hit, bgr, bgg, bgb, *, n_pad, n_groups, gr,
                 has_motion, has_dielectrics, spp, max_bounces, t_max,
                 use_mxu, mode: str = "spheres", lights_ref=None,
-                n_lights: int = 0, n_pgroups: int = 0):
+                n_lights: int = 0, n_pgroups: int = 0, tex=None,
+                gkinds=None, n_sgroups: int = 0, trig=None):
     L = ox.shape[1]
-    rows, (t_best, t_safe, px, py, pz, nx, ny, nz) = _gather_refine(
-        fhi_ref, fmid_ref, flo_ref, obj_best, ox, oy, oz, dx, dy, dz, omt,
-        t_best, hit, n_pad=n_pad, has_motion=has_motion, mode=mode)
+    rows, (t_best, t_safe, px, py, pz, nx, ny, nz, lpx, lpy, lpz) = (
+        _gather_refine(
+            fhi_ref, fmid_ref, flo_ref, obj_best, ox, oy, oz, dx, dy, dz,
+            omt, t_best, hit, n_pad=n_pad, has_motion=has_motion, mode=mode))
 
     # Emissive abort ("paint it white", lights glsl:662-666): the sample
     # becomes pure white; the lane's remaining tree is dropped by the caller.
@@ -402,7 +463,9 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
             otab_ref, gaabb_ref, fhi_ref, lights_ref, px, py, pz,
             nx, ny, nz, omt, sidx, did_hit, n_pad=n_pad,
             n_groups=n_groups, gr=gr, has_motion=has_motion,
-            use_mxu=use_mxu, mode=mode, spp=spp, n_lights=n_lights)
+            use_mxu=use_mxu, mode=mode, spp=spp, n_lights=n_lights,
+            gkinds=gkinds, n_sgroups=n_sgroups,
+            sg0=n_groups + n_pgroups)
         contrib = jnp.where(did_hit, contrib * lit, contrib)
 
     mat_ri = rows[FT_MRI : FT_MRI + 1]
@@ -418,22 +481,25 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
     _abl = frozenset(_os.environ.get("UBER_ABLATE", "").split(","))
     if has_dielectrics and "probe" not in _abl:
         # Only dielectric winners / interior hits consume sur_ri; skipped
-        # lanes read the neutral 1.0.
+        # lanes read the neutral 1.0.  The probe loops over the trailing
+        # dielectric-only sub-table: PROBE_GR-row groups at otab rows
+        # [n_pad, ...), gaabb rows [n_groups, n_groups + n_pgroups).
+        from raytracing_tests_tpu.kernels.sweep2 import PROBE_GR
+
         need = did_hit & (inner | (refrv > 0.002))
-        pg = n_pgroups or n_groups
-        g0 = n_groups if n_pgroups else 0
         if mode == "spheres":
             sur_ri = _ri_probe(
                 otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
-                pz + 1e-3 * nz, omt, n_groups=pg, gr=gr,
-                has_motion=has_motion, use_mxu=use_mxu, need=need, g0=g0)
+                pz + 1e-3 * nz, omt, n_groups=n_pgroups, gr=PROBE_GR,
+                has_motion=has_motion, use_mxu=use_mxu, need=need,
+                g0=n_groups, row0=n_pad)
         else:
             from raytracing_tests_tpu.kernels.sweep2g import _ri_probe_g
 
             sur_ri = _ri_probe_g(
                 otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
-                pz + 1e-3 * nz, omt, n_groups=pg, gr=gr,
-                has_motion=has_motion, need=need, g0=g0)
+                pz + 1e-3 * nz, omt, n_groups=n_pgroups, gr=PROBE_GR,
+                has_motion=has_motion, need=need, g0=n_groups, row0=n_pad)
     else:
         sur_ri = jnp.ones((1, L), jnp.float32)
 
@@ -448,7 +514,7 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
     rinv = jax.lax.rsqrt(jnp.maximum(rlx * rlx + rly * rly + rlz * rlz,
                                      1e-38))
     rlx, rly, rlz = rlx * rinv, rly * rinv, rlz * rinv
-    dvx, dvy, dvz = _deviate(rlx, rly, rlz, sidx, spp, srfl)
+    dvx, dvy, dvz = _deviate(rlx, rly, rlz, sidx, spp, srfl, trig=trig)
     use_dev = srfl > 0.001
     rlx = jnp.where(use_dev, dvx, rlx)
     rly = jnp.where(use_dev, dvy, rly)
@@ -465,7 +531,7 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
     finv = jax.lax.rsqrt(jnp.maximum(rfx * rfx + rfy * rfy + rfz * rfz,
                                      1e-38))
     rfx, rfy, rfz = rfx * finv, rfy * finv, rfz * finv
-    fvx, fvy, fvz = _deviate(rfx, rfy, rfz, sidx, spp, srfr)
+    fvx, fvy, fvz = _deviate(rfx, rfy, rfz, sidx, spp, srfr, trig=trig)
     use_fdev = (srfr > 0.001) & (k_o > 0.0)
     rfx = jnp.where(use_fdev, fvx, rfx)
     rfy = jnp.where(use_fdev, fvy, rfy)
@@ -509,10 +575,11 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
     fwd = (jnp.where(spawn_refr, refrv, 0.0)
            + jnp.where(spawn_refl, reflv, 0.0))
     contrib_post = contrib * (1.0 - 0.5 * fwd)
+    mcr, mcg, mcb = _texture_color(rows, lpx, lpy, lpz, did_hit, tex)
     hit_c = jnp.where(did_hit, contrib_post, 0.0)
-    add_r = add_r + hit_c * rows[FT_CR : FT_CR + 1]
-    add_g = add_g + hit_c * rows[FT_CG : FT_CG + 1]
-    add_b = add_b + hit_c * rows[FT_CB : FT_CB + 1]
+    add_r = add_r + hit_c * mcr
+    add_g = add_g + hit_c * mcg
+    add_b = add_b + hit_c * mcb
 
     hit_t = jnp.where(hit, t_best, t_max)
 
@@ -578,10 +645,12 @@ def mega_step(otab, ftab3, gaabb, pool, lane, gr: int, has_motion: bool,
     Returns (misc (8, C), refr (16, C), refl (16, C), rlane (C,), llane (C,))
     where misc rows are [add_r, add_g, add_b, hit_t, 0...].
     """
+    from raytracing_tests_tpu.kernels.sweep2 import PROBE_GR
+
     fhi, fmid, flo = ftab3
     n_pad = fhi.shape[1]  # MAIN rows (ftab width = winner-id space)
     n_groups = n_pad // gr
-    n_pgroups = (otab.shape[0] - n_pad) // gr  # trailing probe groups
+    n_pgroups = (otab.shape[0] - n_pad) // PROBE_GR  # trailing probe groups
     C = pool.shape[1]
     grid = (C // block,)
     lane2 = lane.reshape(1, C)

@@ -55,6 +55,7 @@ DEAD_OD = 1.0e19  # o.d sentinel for zero-direction lanes: kills both roots
 LANE = 128
 DEFAULT_L = 2048  # ray lanes per grid block (measured best on v5e)
 DEFAULT_GR = 128  # objects per culling group (sublane rows)
+PROBE_GR = 8  # rows per surrounding-RI probe group (see _probe_tables)
 
 # Object-table (Np, 128) column indices ("otab"): per-object sweep constants.
 # The two K=3 triples (center, delta-position) sit at 8-ALIGNED offsets with
@@ -224,8 +225,11 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
     dn = (((1,), (0,)), ((), ()))
     L = ox.shape[1]
     n_pad = n_groups * gr
-    packed = (not with_edge) and n_pad < 1024  # ids must stay below IDM
-    IDM = 1023  # 10-bit id field (id == IDM means "none")
+    # Packed (t, id) key: id field sized to the table — 10 bits (6e-5
+    # relative t quantization) up to 1023 rows, 11 bits (1.2e-4) up to
+    # 2046; the winner re-solve repairs t either way.
+    IDM = 1023 if n_pad < 1024 else 2047
+    packed = (not with_edge) and n_pad < IDM
     eps = 1e-12
     if use_mxu:
         z5 = jnp.zeros((5, L), jnp.float32)
@@ -246,6 +250,10 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
         m_sc[:] = jnp.full((1, L), BIG_T, jnp.float32)
         e_sc[:] = jnp.full((1, L), -1, jnp.int32)
 
+    import os as _os
+    _noslab = "noslab" in frozenset(
+        _os.environ.get("UBER_ABLATE", "").split(","))
+
     for g in range(n_groups):
         # live-mask: a block whose lanes are ALL dead (drained queue slots)
         # skips every group — the tail iterations of a lane-aligned drain
@@ -258,8 +266,7 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
         ghit = _slab_hit(gaabb_ref, g, ox, oy, oz, ix, iy, iz,
                          t_best_now) & live
 
-        @pl.when(jnp.any(ghit))
-        def _(g=g):
+        def _body(g=g):
             if cnt_ref is not None:  # groups-entered diagnostic
                 cnt_ref[3:4] = cnt_ref[3:4] + 1
             sl = slice(g * gr, (g + 1) * gr)
@@ -341,6 +348,11 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
                 m_sc[:] = jnp.where(be, gm, m_sc[:])
                 e_sc[:] = jnp.where(be, ge, e_sc[:])
 
+        if _noslab:  # ablation: straight-line bodies, no group branch
+            _body()
+        else:
+            pl.when(jnp.any(ghit))(_body)
+
     if packed:
         ik = obj_sc[:]
         rid_v = ik & IDM
@@ -407,7 +419,7 @@ def _winner_refine(rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion):
 
 
 def _ri_probe(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
-              has_motion, use_mxu, need=None, g0=0):
+              has_motion, use_mxu, need=None, g0=0, row0=0):
     """Surrounding-RI containment sum at probe point q; same quadratic
     expansion as the sweep (r^2 cancels: inside <=> qq + K1 - 2 C.q <= 0).
 
@@ -416,74 +428,66 @@ def _ri_probe(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
     impossible outside it) — the analogue of the sweep's slab culling.
 
     ``need`` ((1, L) bool, optional) marks the lanes whose shading actually
-    consumes the result (dielectric winners / interior hits); other lanes'
-    probe points are excluded from the group-entry test, so a block whose
-    few dielectric lanes touch 2 groups pays 2 groups, not every group any
-    lane strays into.
+    consumes the result (dielectric winners / interior hits).  It is
+    UNUSED for skipping: the probe runs STRAIGHT-LINE, branch-free.  A
+    taken ``pl.when`` costs ~2-3.5 us at L = 2048 (measured round 3: the
+    4-branch PROBE_GR restructure ran 3x slower than one 64-row body, and
+    even ONE any(need) branch around the whole probe measured 4.1 us/iter
+    where the branch fires most iterations), while the probe's ~32 rows of
+    VPU containment cost ~1 us.  The per-PROBE_GR-row-group loop survives
+    only for the group ANCHORS (``k1`` is anchor-relative for numerics);
+    the accumulators are plain values, no scratch, no branch.
 
-    ``g0``: first group to test.  ``make_accel2`` appends a DIELECTRIC-ONLY
-    (ri != 1) probe sub-table after the main groups — only rows with ri != 1
-    can move the result off the neutral 1.0, and restricting the probe to
-    them cut the headline frame ~20% (the probe was 21% of frame time
-    against the full 8-group table; the dielectric subset is 1 group)."""
+    ``g0``: first gaabb group row; ``row0``: first otab row of the probe
+    sub-table.  ``make_accel2`` appends this DIELECTRIC-ONLY (ri != 1)
+    sub-table after the main rows — only rows with ri != 1 can move the
+    result off the neutral 1.0."""
+    del need  # containment is exact; see docstring (no skip is profitable)
     dn = (((1,), (0,)), ((), ()))
     L = qx.shape[1]
+    if use_mxu:
+        z5 = jnp.zeros((5, L), jnp.float32)
 
-    def body(acc_sc, cnt_sc):
-        acc_sc[:] = jnp.zeros((1, L), jnp.float32)
-        cnt_sc[:] = jnp.zeros((1, L), jnp.float32)
+    acc = jnp.zeros((1, L), jnp.float32)
+    cnt = jnp.zeros((1, L), jnp.float32)
+    for g in range(g0, g0 + n_groups):
+        r0 = row0 + (g - g0) * gr
+        sl = slice(r0, r0 + gr)
+        k1 = otab_ref[sl, OT_K1 : OT_K1 + 1]
+        ri_col = otab_ref[sl, OT_RI : OT_RI + 1]
+        ux = qx - gaabb_ref[g, 6]  # group-anchored probe point
+        uy = qy - gaabb_ref[g, 7]
+        uz = qz - gaabb_ref[g, 8]
+        qq = ux * ux + uy * uy + uz * uz
         if use_mxu:
-            z5 = jnp.zeros((5, L), jnp.float32)
-        for g in range(g0, g0 + n_groups):
-            pin = _point_in_aabb(gaabb_ref, g, qx, qy, qz)
-            if need is not None:
-                pin = pin & need
-
-            @pl.when(jnp.any(pin))
-            def _(g=g):
-                sl = slice(g * gr, (g + 1) * gr)
-                k1 = otab_ref[sl, OT_K1 : OT_K1 + 1]
-                ri_col = otab_ref[sl, OT_RI : OT_RI + 1]
-                ux = qx - gaabb_ref[g, 6]  # group-anchored probe point
-                uy = qy - gaabb_ref[g, 7]
-                uz = qz - gaabb_ref[g, 8]
-                qq = ux * ux + uy * uy + uz * uz
-                if use_mxu:
-                    C8 = otab_ref[sl, 0:8]
-                    qvec8 = jnp.concatenate([ux, uy, uz, z5], axis=0)
-                    QC = jax.lax.dot_general(
-                        C8, qvec8, dn, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-                else:
-                    QC = (otab_ref[sl, OT_CX : OT_CX + 1] * ux
-                          + otab_ref[sl, OT_CY : OT_CY + 1] * uy
-                          + otab_ref[sl, OT_CZ : OT_CZ + 1] * uz)
-                lhs = qq + k1 - 2.0 * QC
-                if has_motion:
-                    k2 = otab_ref[sl, OT_K2 : OT_K2 + 1]
-                    k3 = otab_ref[sl, OT_K3 : OT_K3 + 1]
-                    if use_mxu:
-                        DP8 = otab_ref[sl, 8:16]
-                        QDP = jax.lax.dot_general(
-                            DP8, qvec8, dn, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-                    else:
-                        QDP = (otab_ref[sl, OT_DPX : OT_DPX + 1] * ux
-                               + otab_ref[sl, OT_DPY : OT_DPY + 1] * uy
-                               + otab_ref[sl, OT_DPZ : OT_DPZ + 1] * uz)
-                    lhs = lhs + omt * (2.0 * QDP - k2) + (omt * omt) * k3
-                inside = lhs <= 0.0
-                acc_sc[:] = acc_sc[:] + jnp.sum(
-                    jnp.where(inside, ri_col, 0.0), axis=0, keepdims=True)
-                cnt_sc[:] = cnt_sc[:] + jnp.sum(
-                    inside.astype(jnp.float32), axis=0, keepdims=True)
-        return acc_sc[:], cnt_sc[:]
-
-    acc, cnt = pl.run_scoped(
-        body,
-        acc_sc=pltpu.VMEM((1, L), jnp.float32),
-        cnt_sc=pltpu.VMEM((1, L), jnp.float32),
-    )
+            C8 = otab_ref[sl, 0:8]
+            qvec8 = jnp.concatenate([ux, uy, uz, z5], axis=0)
+            QC = jax.lax.dot_general(
+                C8, qvec8, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        else:
+            QC = (otab_ref[sl, OT_CX : OT_CX + 1] * ux
+                  + otab_ref[sl, OT_CY : OT_CY + 1] * uy
+                  + otab_ref[sl, OT_CZ : OT_CZ + 1] * uz)
+        lhs = qq + k1 - 2.0 * QC
+        if has_motion:
+            k2 = otab_ref[sl, OT_K2 : OT_K2 + 1]
+            k3 = otab_ref[sl, OT_K3 : OT_K3 + 1]
+            if use_mxu:
+                DP8 = otab_ref[sl, 8:16]
+                QDP = jax.lax.dot_general(
+                    DP8, qvec8, dn, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            else:
+                QDP = (otab_ref[sl, OT_DPX : OT_DPX + 1] * ux
+                       + otab_ref[sl, OT_DPY : OT_DPY + 1] * uy
+                       + otab_ref[sl, OT_DPZ : OT_DPZ + 1] * uz)
+            lhs = lhs + omt * (2.0 * QDP - k2) + (omt * omt) * k3
+        inside = lhs <= 0.0
+        acc = acc + jnp.sum(
+            jnp.where(inside, ri_col, 0.0), axis=0, keepdims=True)
+        cnt = cnt + jnp.sum(
+            inside.astype(jnp.float32), axis=0, keepdims=True)
     return jnp.where(acc > 1.0, acc / jnp.maximum(cnt, 1.0), 1.0)
 
 
@@ -539,9 +543,9 @@ def _sweep2_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
                 sur_ri = _ri_probe(
                     otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
                     pz + 1e-3 * nz, omt,
-                    n_groups=n_pgroups or n_groups, gr=gr,
+                    n_groups=n_pgroups, gr=PROBE_GR,
                     has_motion=has_motion, use_mxu=use_mxu, need=need,
-                    g0=n_groups if n_pgroups else 0)
+                    g0=n_groups, row0=n_pad)
             else:
                 sur_ri = jnp.ones((1, L), jnp.float32)
 
@@ -701,13 +705,18 @@ def make_accel2(scene: Scene, gr: int = DEFAULT_GR,
 
 def _probe_tables(scene, key, valid, lo, hi, gr: int, probe_rows, packer):
     """Dielectric-only (valid & ri != 1) probe sub-table: Morton/huge-first
-    ordered rows grouped by ``gr`` with their own AABBs + median anchors.
-    Only ri != 1 rows can move the surrounding-RI result off the neutral
-    1.0, so the probe loops over this (usually single-group) subset instead
-    of the whole table.  ``packer(order, n_pad, anchor, valid_mask)`` builds
-    the mode-specific object table."""
+    ordered rows grouped by ``gr`` = PROBE_GR with their own AABBs + median
+    anchors.  Only ri != 1 rows can move the surrounding-RI result off the
+    neutral 1.0, so the probe loops over this subset instead of the whole
+    table — and the SMALL group size keeps each probe group's AABB tight
+    around ~8 Morton-adjacent dielectrics, so most blocks' probe points
+    enter no group at all (at the main sweep's gr the one wide group
+    spanned the scene and fired nearly every iteration: 17% of the
+    headline frame, measured round 3).  ``packer(order, n_pad, anchor,
+    valid_mask)`` builds the mode-specific object table."""
     import numpy as np
 
+    gr = PROBE_GR
     dmask = valid & (scene.refractive_index != 1.0)
     if probe_rows is None or probe_rows < 0:
         probe_rows = int(np.asarray(dmask).sum())  # concrete scenes only
@@ -760,7 +769,7 @@ def _sweep2(otab, ftab3, gaabb, rays, B: int, gr: int, has_motion: bool,
     fhi, fmid, flo = ftab3
     n_pad = fhi.shape[1]  # MAIN rows (ftab width = winner-id space)
     n_groups = n_pad // gr
-    n_pgroups = (otab.shape[0] - n_pad) // gr  # trailing probe groups
+    n_pgroups = (otab.shape[0] - n_pad) // PROBE_GR  # trailing probe groups
     Bp = rays.shape[1]
     grid = (Bp // block,)
     lane_spec = lambda rows: pl.BlockSpec(

@@ -4,8 +4,8 @@ megakernel.
 ``kernels/sweep2.py`` is the sphere-mode fast path: its MXU-formulated
 quadratic and the packed-key reduction assume isotropic spheres.  This
 module brings the SAME grouped block-culling architecture to the generic
-21-field primitive test (the reference flagship traversal's ``IntersectRay``
-— ``01_BoundingVolumeHierarchy/computeShaderSrc.glsl:212-266``: inverse
+primitive test (the reference flagship traversal's ``IntersectRay`` —
+``01_BoundingVolumeHierarchy/computeShaderSrc.glsl:212-266``: inverse
 rotation into the local frame, then ellipsoid quadratic or cuboid slab by
 object type), so the persistent kernel (``kernels/uber.py``) can drain
 rotated-cuboid scenes (the INW-01 R-grid family) with the same
@@ -13,20 +13,39 @@ zero-scatter, ~100%-occupancy schedule as the headline sphere scene:
 
   - OBJECTS live on the sublane axis in Morton-sorted groups of ``gr`` rows
     (huge objects isolated first, groups ordered near-to-far from the
-    camera); per group the local-frame transform and both primitive tests
-    run as (gr, 1) x (1, L) broadcast VPU ops (~120 ops per object-ray).
-  - Group-level AABB culling identical to the sphere path (``_slab_hit``):
-    world AABBs of rotated objects are conservative, one slab test per
-    group skips whole blocks.
-  - The winner's exact t and world normal are recomputed per-lane from the
-    one-hot-gathered object row (``_winner_refine_g``) — the generic
-    analogue of ``sweep2._winner_refine``.
+    camera); per group the frame transform and primitive tests run as
+    (gr, 1) x (1, L) broadcast VPU ops.
+  - The CANDIDATE stage is fast, the WINNER stage exact: the per-object
+    frame is a host-precomputed fused matrix M = diag(1/scale) @ R^T, so
+    one 9-FMA transform lands rays directly in the unit-primitive space
+    (ellipsoid = unit sphere, cuboid = unit cube) — 6 fewer (gr, L)
+    divisions per group than the literal transform-then-divide.  Candidate
+    t and the packed (t, id) ordering key carry a few-ulp difference vs
+    the oracle arithmetic; the one-hot-gathered winner is then re-solved
+    EXACTLY in the oracle's own division-based arithmetic
+    (``_winner_refine_g``), so hit t / normal / local position are exact
+    and only near-exact ties can flip the winner id (statistical parity —
+    the same bargain as the sphere path's packed-key quantization,
+    PERFORMANCE.md fact 11).
+  - Per-group STATIC TYPE SPECIALIZATION: group kinds ('e'llipsoid /
+    'c'uboid / 'm'ixed), censused at accel-build time from the concrete
+    scene, skip the other primitive's test entirely for single-type groups
+    (the huge-first policy isolates e.g. a ground box into its own
+    cuboid-only group).
+  - TWO-LEVEL CULLING: groups of ``gr`` rows under super-groups of 8
+    Morton-adjacent groups with their union AABBs appended to the gaabb
+    table — one super slab test skips 8 group slab tests, flattening the
+    per-iteration overhead wall at 1k-10k objects.
+  - Group-level AABB culling identical to the sphere path (``_slab_hit``)
+    with per-lane t-limit tightening; near-to-far group order makes far
+    groups die on the slab test (the reference's near-child-first
+    heuristic, 01_BVH glsl:455-460, at group granularity).
 
 Dielectric generic scenes are served too: ``_ri_probe_g`` runs the rotated
 point-in-primitive containment sum (the surrounding-refractive-index
-estimate) grouped and point-in-group-AABB-culled, and ``sweep2g_nearest``
-exposes the occlusion-grade sweep standalone for the fast gradient path's
-detached winner-finding (``diff/fastpath.py``).
+estimate) in the fused M-space, grouped and point-in-group-AABB-culled,
+and ``sweep2g_nearest`` exposes the occlusion-grade sweep standalone for
+the fast gradient path's detached winner-finding (``diff/fastpath.py``).
 """
 
 from __future__ import annotations
@@ -35,6 +54,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,14 +67,17 @@ from raytracing_tests_tpu.kernels.sweep2 import (
 )
 from raytracing_tests_tpu.scene.types import Scene
 
-# Generic object-table (Np, 128) column indices.
+# Generic object-table (Np, 128) column indices.  M is the fused frame
+# matrix diag(1/scale) @ R^T (row-major): unit-primitive coords in one
+# 9-FMA broadcast transform.
 GO_PX, GO_PY, GO_PZ = 0, 1, 2
 GO_DPX, GO_DPY, GO_DPZ = 3, 4, 5
 (
-    GO_R00, GO_R01, GO_R02, GO_R10, GO_R11, GO_R12, GO_R20, GO_R21, GO_R22,
+    GO_M00, GO_M01, GO_M02, GO_M10, GO_M11, GO_M12, GO_M20, GO_M21, GO_M22,
 ) = range(6, 15)
-GO_SX, GO_SY, GO_SZ = 15, 16, 17
-GO_TYPE, GO_VALID, GO_RI = 18, 19, 20
+GO_TYPE, GO_VALID, GO_RI = 15, 16, 17
+
+SG = 8  # groups per super-group (two-level culling)
 
 # Generic fields table: sweep2's FT_* material rows (0..18) + the winner
 # geometry needed by the per-lane refine: rotation, scale, type.
@@ -85,11 +108,15 @@ def pack_tables_g(scene: Scene, order, n_pad: int, valid_mask=None):
     sc = s["scale"]
     valid = s["valid"]
 
+    # Fused frame M = diag(1/s) @ R^T: M[i][j] = R[j][i] / s_i.  Padding /
+    # invalid rows carry zero scale — guard to keep the table finite (their
+    # candidates are valid-masked to BIG downstream).
+    s_safe = jnp.where(sc > 0.0, sc, 1.0)
+    M = jnp.transpose(R, (0, 2, 1)) / s_safe[:, :, None]
     otab = jnp.zeros((n_pad, OT_COLS), jnp.float32)
     otab = otab.at[:n, GO_PX : GO_PZ + 1].set(c)
     otab = otab.at[:n, GO_DPX : GO_DPZ + 1].set(dp)
-    otab = otab.at[:n, GO_R00 : GO_R22 + 1].set(R.reshape(n, 9))
-    otab = otab.at[:n, GO_SX : GO_SZ + 1].set(sc)
+    otab = otab.at[:n, GO_M00 : GO_M22 + 1].set(M.reshape(n, 9))
     otab = otab.at[:n, GO_TYPE].set(s["obj_type"].astype(jnp.float32))
     otab = otab.at[:n, GO_VALID].set(valid.astype(jnp.float32))
     otab = otab.at[:n, GO_RI].set(s["refractive_index"])
@@ -117,25 +144,31 @@ def pack_tables_g(scene: Scene, order, n_pad: int, valid_mask=None):
 
 @jax.tree_util.register_pytree_node_class
 class Accel2G:
-    """Generic-mode accel: Morton-grouped 21-field tables + group AABBs.
+    """Generic-mode accel: Morton-grouped fused-frame tables + group AABBs.
     Like ``sweep2.Accel2``, ``otab``/``gaabb`` carry ``n_pgroups`` trailing
-    dielectric-only probe groups; ``ftab3`` spans the main rows only."""
+    dielectric-only probe groups; ``ftab3`` spans the main rows only.
+    ``gaabb`` additionally carries ``n_sgroups`` SUPER-GROUP union-AABB rows
+    after the probe rows; ``gkinds`` is the static per-group type census
+    ('e'/'c'/'m', None when built from a traced scene)."""
 
     def __init__(self, otab, ftab3, gaabb, perm, gr: int, has_motion: bool,
-                 n_pgroups: int = 0):
+                 n_pgroups: int = 0, n_sgroups: int = 0, gkinds=None):
         self.otab = otab  # (Np + Pp, 128)
         self.ftab3 = ftab3  # 3x (GFT_ROWS, Np) bf16 hi/mid/lo splits
-        self.gaabb = gaabb  # (G + PG, 128) rows: lo3 hi3
+        self.gaabb = gaabb  # (G + PG + SGn, 128) rows: lo3 hi3
         self.perm = perm
         self.gr = gr
         self.has_motion = has_motion
         self.n_pgroups = n_pgroups
+        self.n_sgroups = n_sgroups
+        self.gkinds = gkinds
 
     mode = "generic"
 
     def tree_flatten(self):
         return (self.otab, self.ftab3, self.gaabb, self.perm), (
-            self.gr, self.has_motion, self.n_pgroups)
+            self.gr, self.has_motion, self.n_pgroups, self.n_sgroups,
+            self.gkinds)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -205,13 +238,49 @@ def make_accel2g(scene: Scene, gr: int = 64, has_motion: bool = True,
         scene, key, valid, lo, hi, gr, probe_rows, _pack_probe)
     otab = jnp.concatenate([otab, potab])
     gaabb = jnp.concatenate([gaabb, pgaabb])
+
+    # Static per-group type census (concrete scenes only — the uber path
+    # builds eagerly; traced builds fall back to mixed bodies everywhere).
+    gkinds = None
+    try:
+        typ = np.asarray(otab[: G * gr, GO_TYPE]).reshape(G, gr)
+        vld = np.asarray(otab[: G * gr, GO_VALID]).reshape(G, gr) > 0
+        kinds = []
+        for g in range(G):
+            t = typ[g][vld[g]]
+            has_e = bool((t == _ELL).any())
+            has_c = bool((t != _ELL).any())
+            kinds.append("m" if (has_e and has_c) else
+                         ("c" if has_c else "e"))
+        gkinds = tuple(kinds)
+    except jax.errors.TracerArrayConversionError:
+        pass
+
+    # Super-group union AABBs (two-level culling), appended after the probe
+    # rows; only formed when there are enough groups to be worth a level.
+    n_sgroups = 0
+    if G > SG:
+        n_sgroups = -(-G // SG)
+        pad = n_sgroups * SG - G
+        glo_f = gaabb[:G, 0:3]  # FINAL (near-to-far-reordered) group boxes
+        ghi_f = gaabb[:G, 3:6]
+        glo_p = jnp.concatenate([glo_f, jnp.full((pad, 3), INF)]) if pad else glo_f
+        ghi_p = jnp.concatenate([ghi_f, jnp.full((pad, 3), -INF)]) if pad else ghi_f
+        slo = jnp.min(glo_p.reshape(n_sgroups, SG, 3), axis=1)
+        shi = jnp.max(ghi_p.reshape(n_sgroups, SG, 3), axis=1)
+        sga = jnp.zeros((n_sgroups, OT_COLS), jnp.float32)
+        sga = sga.at[:, 0:3].set(slo).at[:, 3:6].set(shi)
+        gaabb = jnp.concatenate([gaabb, sga])
+
     return Accel2G(otab, pack_ftab_splits(ftab), gaabb, perm, gr, has_motion,
-                   n_pgroups=pgaabb.shape[0])
+                   n_pgroups=pgaabb.shape[0], n_sgroups=n_sgroups,
+                   gkinds=gkinds)
 
 
-def _local_frame(otab_ref, sl, ox, oy, oz, dx, dy, dz, omt, has_motion):
-    """Shift rays object-relative and rotate into each object's local frame:
-    (gr, 1) columns against (1, L) planes -> (gr, L) local origin/dir."""
+def _fused_frame(otab_ref, sl, ox, oy, oz, dx, dy, dz, omt, has_motion):
+    """Shift rays object-relative and apply the fused M = diag(1/s) @ R^T:
+    (gr, 1) columns against (1, L) planes -> (gr, L) unit-space
+    origin/direction (ellipsoid = unit sphere, cuboid = unit cube)."""
     rx = ox - otab_ref[sl, GO_PX : GO_PX + 1]
     ry = oy - otab_ref[sl, GO_PY : GO_PY + 1]
     rz = oz - otab_ref[sl, GO_PZ : GO_PZ + 1]
@@ -219,37 +288,22 @@ def _local_frame(otab_ref, sl, ox, oy, oz, dx, dy, dz, omt, has_motion):
         rx = rx + omt * otab_ref[sl, GO_DPX : GO_DPX + 1]
         ry = ry + omt * otab_ref[sl, GO_DPY : GO_DPY + 1]
         rz = rz + omt * otab_ref[sl, GO_DPZ : GO_DPZ + 1]
-    r00 = otab_ref[sl, GO_R00 : GO_R00 + 1]
-    r01 = otab_ref[sl, GO_R01 : GO_R01 + 1]
-    r02 = otab_ref[sl, GO_R02 : GO_R02 + 1]
-    r10 = otab_ref[sl, GO_R10 : GO_R10 + 1]
-    r11 = otab_ref[sl, GO_R11 : GO_R11 + 1]
-    r12 = otab_ref[sl, GO_R12 : GO_R12 + 1]
-    r20 = otab_ref[sl, GO_R20 : GO_R20 + 1]
-    r21 = otab_ref[sl, GO_R21 : GO_R21 + 1]
-    r22 = otab_ref[sl, GO_R22 : GO_R22 + 1]
-    # local = R^T @ rel (column dots), intersect_brute semantics.
-    lox = r00 * rx + r10 * ry + r20 * rz
-    loy = r01 * rx + r11 * ry + r21 * rz
-    loz = r02 * rx + r12 * ry + r22 * rz
-    ldx = r00 * dx + r10 * dy + r20 * dz
-    ldy = r01 * dx + r11 * dy + r21 * dz
-    ldz = r02 * dx + r12 * dy + r22 * dz
-    return lox, loy, loz, ldx, ldy, ldz
+    m = [otab_ref[sl, GO_M00 + i : GO_M00 + i + 1] for i in range(9)]
+    ex = m[0] * rx + m[1] * ry + m[2] * rz
+    ey = m[3] * rx + m[4] * ry + m[5] * rz
+    ez = m[6] * rx + m[7] * ry + m[8] * rz
+    fx = m[0] * dx + m[1] * dy + m[2] * dz
+    fy = m[3] * dx + m[4] * dy + m[5] * dz
+    fz = m[6] * dx + m[7] * dy + m[8] * dz
+    return ex, ey, ez, fx, fy, fz
 
 
-def _both_t(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz):
-    """Ellipsoid and cuboid candidate t on (gr, L) tiles (exact
-    ``intersect_brute`` per-object semantics; dead rays with d = 0 produce
-    a = 0 -> rejected).
-
-    DIVISION, not multiply-by-reciprocal: the queue renderer's v1 kernel
-    divides by scale, and the last-ulp difference between ``x / s`` and
-    ``x * (1/s)`` flips binary outcomes downstream (shadow visibility) —
-    parity requires bitwise-identical candidate t.  Zero-scale padding rows
-    produce NaN here; every consumer select-guards on validity, exactly
-    like the v1 kernel."""
-    # Ellipsoid quadratic in /scale space.
+def _both_t_exact(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz):
+    """Ellipsoid and cuboid t in the ORACLE's exact arithmetic (division by
+    scale, division by a — ``intersect_brute`` per-object semantics).  Used
+    only by the per-lane winner refine on (1, L) planes, where the division
+    cost is negligible; the grouped candidate stage uses the fused fast
+    forms above.  Zero-scale rows produce NaN; consumers select-guard."""
     ex, ey, ez = lox / sx, loy / sy, loz / sz
     fx, fy, fz = ldx / sx, ldy / sy, ldz / sz
     a = fx * fx + fy * fy + fz * fz
@@ -264,7 +318,6 @@ def _both_t(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz):
     t_e = jnp.where((t0 > t1) | (t0 < 0.0), t1, t0)
     t_e = jnp.where(ok & (t_e > 0.0), t_e, BIG_T)
 
-    # Cuboid slab test (safe-inverse convention of geometry.ray_cuboid_t).
     eps = 1e-12
 
     def axis(lo, ld, s):
@@ -285,43 +338,129 @@ def _both_t(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz):
     return t_e, t_c
 
 
+def _ell_t(ex, ey, ez, fx, fy, fz):
+    """Unit-sphere candidate t on (gr, L) tiles (dead rays with d = 0
+    produce a = 0 -> rejected).  One reciprocal instead of v1's two
+    divisions — candidate-only arithmetic (see module docstring)."""
+    a = fx * fx + fy * fy + fz * fz
+    half_b = ex * fx + ey * fy + ez * fz
+    c = ex * ex + ey * ey + ez * ez - 1.0
+    disc = half_b * half_b - a * c
+    ok = (disc > 0.0) & (a > 1e-30)
+    sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+    ra = 1.0 / jnp.where(ok, a, 1.0)
+    t0 = (-half_b - sq) * ra
+    t1 = (-half_b + sq) * ra
+    t_e = jnp.where((t0 > t1) | (t0 < 0.0), t1, t0)
+    return jnp.where(ok & (t_e > 0.0), t_e, BIG_T)
+
+
+def _cub_t(ex, ey, ez, fx, fy, fz):
+    """Unit-cube (+-0.5) slab candidate t on (gr, L) tiles (safe-inverse
+    convention of ``geometry.ray_cuboid_t``, in fused unit space)."""
+    eps = 1e-12
+
+    def axis(lo, ld):
+        ld_safe = jnp.where(jnp.abs(ld) < eps,
+                            jnp.where(ld >= 0.0, eps, -eps), ld)
+        inv = 1.0 / ld_safe
+        u = (-0.5 - lo) * inv
+        w = (0.5 - lo) * inv
+        return jnp.minimum(u, w), jnp.maximum(u, w)
+
+    n1, x1 = axis(ex, fx)
+    n2, x2 = axis(ey, fy)
+    n3, x3 = axis(ez, fz)
+    tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
+    tmax = jnp.minimum(jnp.minimum(x1, x2), x3)
+    t_c = jnp.where(tmax > tmin, jnp.where(tmin > 0.0, tmin, tmax), BIG_T)
+    return jnp.where(t_c > 0.0, t_c, BIG_T)
+
+
 def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
-                  tlim, t_sc, obj_sc, *, n_groups, gr, has_motion,
-                  cnt_ref=None):
+                  tlim, t_sc, obj_sc, m_sc=None, e_sc=None, *, n_groups, gr,
+                  has_motion, cnt_ref=None, gkinds=None, n_sgroups=0, sg0=0,
+                  with_edge=False):
     """Grouped nearest-hit sweep over the generic table, writing best
     (t, obj) into the scratch refs.  Structure mirrors
-    ``sweep2._sweep_loop`` (slab-culled groups, live-mask block skip); the
-    reduction is the unpacked min+argmin (generic scenes commonly exceed
-    the packed key's 1023-id limit)."""
+    ``sweep2._sweep_loop`` (slab-culled groups, live-mask block skip) plus
+    the module-docstring upgrades: super-group pre-cull (``n_sgroups``
+    union AABBs at gaabb rows [sg0, sg0+n_sgroups)), static per-group type
+    specialization (``gkinds``), and the packed (t, id) single-reduction
+    key (11-bit id space; generic tables up to 2047 rows)."""
     L = ox.shape[1]
     eps = 1e-12
     ix = 1.0 / jnp.where(jnp.abs(dx) < eps, eps, dx)
     iy = 1.0 / jnp.where(jnp.abs(dy) < eps, eps, dy)
     iz = 1.0 / jnp.where(jnp.abs(dz) < eps, eps, dz)
 
-    t_sc[:] = jnp.minimum(jnp.full((1, L), BIG_T, jnp.float32), tlim)
-    obj_sc[:] = jnp.full((1, L), -1, jnp.int32)
+    import os as _os0
+    n_pad = n_groups * gr
+    IDM = 2047  # 11-bit id field (id == IDM means "none")
+    packed = (not with_edge) and n_pad < IDM
+    if "nopack" in frozenset(_os0.environ.get("UBER_ABLATE", "").split(",")):
+        packed = False
 
-    for g in range(n_groups):
-        ghit = _slab_hit(gaabb_ref, g, ox, oy, oz, ix, iy, iz, t_sc[:]) & live
+    limit0 = jnp.minimum(jnp.full((1, L), BIG_T, jnp.float32), tlim)
+    if with_edge:
+        m_sc[:] = jnp.full((1, L), BIG_T, jnp.float32)
+        e_sc[:] = jnp.full((1, L), -1, jnp.int32)
+    if packed:
+        obj_sc[:] = (
+            jax.lax.bitcast_convert_type(limit0, jnp.int32) & ~IDM) | IDM
+    else:
+        t_sc[:] = limit0
+        obj_sc[:] = jnp.full((1, L), -1, jnp.int32)
 
-        @pl.when(jnp.any(ghit))
-        def _(g=g):
-            if cnt_ref is not None:  # groups-entered diagnostic
-                cnt_ref[3:4] = cnt_ref[3:4] + 1
-            sl = slice(g * gr, (g + 1) * gr)
-            lox, loy, loz, ldx, ldy, ldz = _local_frame(
-                otab_ref, sl, ox, oy, oz, dx, dy, dz, omt, has_motion)
-            t_e, t_c = _both_t(
-                lox, loy, loz, ldx, ldy, ldz,
-                otab_ref[sl, GO_SX : GO_SX + 1],
-                otab_ref[sl, GO_SY : GO_SY + 1],
-                otab_ref[sl, GO_SZ : GO_SZ + 1])
+    def t_best_now():
+        if packed:
+            return jax.lax.bitcast_convert_type(obj_sc[:] & ~IDM,
+                                                jnp.float32)
+        return t_sc[:]
+
+    def group_body(g):
+        if cnt_ref is not None:  # groups-entered diagnostic
+            cnt_ref[3:4] = cnt_ref[3:4] + 1
+        sl = slice(g * gr, (g + 1) * gr)
+        ex, ey, ez, fx, fy, fz = _fused_frame(
+            otab_ref, sl, ox, oy, oz, dx, dy, dz, omt, has_motion)
+        kind = gkinds[g] if gkinds is not None else "m"
+        valid_col = otab_ref[sl, GO_VALID : GO_VALID + 1] > 0.0
+        if kind == "e" and not with_edge:
+            tc = _ell_t(ex, ey, ez, fx, fy, fz)
+        elif kind == "c" and not with_edge:
+            tc = _cub_t(ex, ey, ez, fx, fy, fz)
+        else:
             typ = otab_ref[sl, GO_TYPE : GO_TYPE + 1]
-            tc = jnp.where(typ == _ELL, t_e, t_c)
-            tc = jnp.where(otab_ref[sl, GO_VALID : GO_VALID + 1] > 0.0,
-                           tc, BIG_T)
-            rid = g * gr + jax.lax.broadcasted_iota(jnp.int32, (gr, L), 0)
+            tc = jnp.where(typ == _ELL,
+                           _ell_t(ex, ey, ez, fx, fy, fz),
+                           _cub_t(ex, ey, ez, fx, fy, fz))
+        tc = jnp.where(valid_col, tc, BIG_T)
+        rid = g * gr + jax.lax.broadcasted_iota(jnp.int32, (gr, L), 0)
+        if with_edge:
+            # Silhouette-candidate metric in fused unit space: squared
+            # line-to-center distance minus 1 (unit primitive) — the
+            # generic analogue of sweep2's (h/r)^2 - 1.  Forward-only
+            # (approaching) candidates; valid rows only.
+            a_e = fx * fx + fy * fy + fz * fz
+            hb_e = ex * fx + ey * fy + ez * fz
+            cc_e = ex * ex + ey * ey + ez * ez
+            ra_e = 1.0 / jnp.maximum(a_e, 1e-30)
+            me = cc_e - hb_e * hb_e * ra_e - 1.0
+            me = jnp.where((hb_e < 0.0) & valid_col & (a_e > 1e-30),
+                           me, BIG_T)
+            gm = jnp.min(me, axis=0, keepdims=True)
+            ge = jnp.min(
+                jnp.where(me == gm, rid, jnp.int32(0x7FFFFFFF)),
+                axis=0, keepdims=True)
+            be = gm < m_sc[:]
+            m_sc[:] = jnp.where(be, gm, m_sc[:])
+            e_sc[:] = jnp.where(be, ge, e_sc[:])
+        if packed:
+            ik = (jax.lax.bitcast_convert_type(tc, jnp.int32) & ~IDM) | rid
+            gmin_i = jnp.min(ik, axis=0, keepdims=True)
+            obj_sc[:] = jnp.minimum(obj_sc[:], gmin_i)
+        else:
             gmin = jnp.min(tc, axis=0, keepdims=True)
             gobj = jnp.min(
                 jnp.where(tc == gmin, rid, jnp.int32(0x7FFFFFFF)),
@@ -330,43 +469,104 @@ def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
             t_sc[:] = jnp.where(better, gmin, t_sc[:])
             obj_sc[:] = jnp.where(better, gobj, obj_sc[:])
 
+    import os as _os
+    _abl = frozenset(_os.environ.get("UBER_ABLATE", "").split(","))
 
-def _sweep2g_nearest_kernel(n_groups: int, gr: int, has_motion: bool):
-    def kernel(otab_ref, gaabb_ref, rays_ref, t_out, obj_out, t_sc, obj_sc):
+    def group_level(g):
+        if "noslab" in _abl:  # ablation: straight-line, no group branch
+            group_body(g)
+            return
+        ghit = _slab_hit(gaabb_ref, g, ox, oy, oz, ix, iy, iz,
+                         t_best_now()) & live
+
+        @pl.when(jnp.any(ghit))
+        def _(g=g):
+            group_body(g)
+
+    if gkinds is not None and "nokinds" in _abl:
+        gkinds = None
+    if n_sgroups and "nosuper" not in _abl:
+        for s in range(n_sgroups):
+            shit = _slab_hit(gaabb_ref, sg0 + s, ox, oy, oz, ix, iy, iz,
+                             t_best_now()) & live
+
+            @pl.when(jnp.any(shit))
+            def _(s=s):
+                for g in range(s * SG, min((s + 1) * SG, n_groups)):
+                    group_level(g)
+    else:
+        for g in range(n_groups):
+            group_level(g)
+
+    if packed:
+        ik = obj_sc[:]
+        rid_v = ik & IDM
+        t_sc[:] = jax.lax.bitcast_convert_type(ik & ~IDM, jnp.float32)
+        obj_sc[:] = jnp.where(rid_v == IDM, -1, rid_v)
+
+
+def _sweep2g_nearest_kernel(n_groups: int, gr: int, has_motion: bool,
+                            gkinds=None, n_sgroups: int = 0, sg0: int = 0,
+                            with_edge: bool = False):
+    def kernel(otab_ref, gaabb_ref, rays_ref, t_out, obj_out, *rest):
         rays = rays_ref[:]
         ox, oy, oz = rays[0:1], rays[1:2], rays[2:3]
         dx, dy, dz = rays[3:4], rays[4:5], rays[5:6]
         live = (dx * dx + dy * dy + dz * dz) > 0.5
+        if with_edge:
+            edge_out, t_sc, obj_sc, m_sc, e_sc = rest
+        else:
+            t_sc, obj_sc = rest
+            m_sc = e_sc = None
         _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz,
-                      rays[6:7], live, rays[7:8], t_sc, obj_sc,
-                      n_groups=n_groups, gr=gr, has_motion=has_motion)
+                      rays[6:7], live, rays[7:8], t_sc, obj_sc, m_sc, e_sc,
+                      n_groups=n_groups, gr=gr, has_motion=has_motion,
+                      gkinds=gkinds, n_sgroups=n_sgroups, sg0=sg0,
+                      with_edge=with_edge)
         t_out[:] = t_sc[:]
         obj_out[:] = obj_sc[:]
+        if with_edge:
+            edge_out[:] = e_sc[:]
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("gr", "has_motion", "block",
-                                              "n_pgroups"))
+                                              "n_pgroups", "n_sgroups",
+                                              "gkinds", "with_edge"))
 def _sweep2g(otab, gaabb, rays, gr: int, has_motion: bool, block: int,
-             n_pgroups: int = 0):
-    from raytracing_tests_tpu.kernels.sweep2 import _interpret
+             n_pgroups: int = 0, n_sgroups: int = 0, gkinds=None,
+             with_edge: bool = False):
+    from raytracing_tests_tpu.kernels.sweep2 import PROBE_GR, _interpret
 
-    n_groups = otab.shape[0] // gr - n_pgroups  # main groups only
+    # gaabb rows: [main groups][probe groups][super groups]
+    n_pgroups_rows = n_pgroups * PROBE_GR
+    n_groups = (otab.shape[0] - n_pgroups_rows) // gr  # main groups only
+    sg0 = n_groups + n_pgroups
     Bp = rays.shape[1]
     lane = lambda rows: pl.BlockSpec((rows, block), lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+                 jax.ShapeDtypeStruct((1, Bp), jnp.int32)]
+    out_specs = [lane(1), lane(1)]
+    scratch = [pltpu.VMEM((1, block), jnp.float32),
+               pltpu.VMEM((1, block), jnp.int32)]
+    if with_edge:
+        out_shape.append(jax.ShapeDtypeStruct((1, Bp), jnp.int32))
+        out_specs.append(lane(1))
+        scratch += [pltpu.VMEM((1, block), jnp.float32),
+                    pltpu.VMEM((1, block), jnp.int32)]
     return pl.pallas_call(
-        _sweep2g_nearest_kernel(n_groups, gr, has_motion),
+        _sweep2g_nearest_kernel(n_groups, gr, has_motion, gkinds=gkinds,
+                                n_sgroups=n_sgroups, sg0=sg0,
+                                with_edge=with_edge),
         grid=(Bp // block,),
         in_specs=[full(otab), full(gaabb), lane(8)],
-        out_specs=(lane(1), lane(1)),
-        out_shape=(jax.ShapeDtypeStruct((1, Bp), jnp.float32),
-                   jax.ShapeDtypeStruct((1, Bp), jnp.int32)),
-        scratch_shapes=[pltpu.VMEM((1, block), jnp.float32),
-                        pltpu.VMEM((1, block), jnp.int32)],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         interpret=_interpret(),
     )(otab, gaabb, rays)
 
@@ -381,62 +581,61 @@ def sweep2g_nearest(accel: "Accel2G", o, d, time_ratio, t_limit,
     rays, B = pack_rays(o, d, time_ratio, t_limit, block)
     t, obj = _sweep2g(accel.otab, accel.gaabb, rays, accel.gr,
                       accel.has_motion, block,
-                      n_pgroups=getattr(accel, "n_pgroups", 0))
+                      n_pgroups=getattr(accel, "n_pgroups", 0),
+                      n_sgroups=getattr(accel, "n_sgroups", 0),
+                      gkinds=getattr(accel, "gkinds", None))
     return t[0, :B], obj[0, :B]
 
 
-def _ri_probe_g(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
-                has_motion, need=None, g0=0):
-    """Surrounding-RI containment sum at probe point q, generic mode: the
-    rotated point-in-primitive test (local = R^T(q - c + omt*dp) / s;
-    ellipsoid |local|^2 <= 1, cuboid all |local| <= 0.5 — division like
-    the v1 RI kernel, sweep.py:_ri_kernel generic branch).  Groups whose
-    AABB contains no needed probe point are skipped, the same culling as
-    ``sweep2._ri_probe``."""
+def sweep2g_nearest_edge(accel: "Accel2G", o, d, time_ratio, t_limit,
+                         block: int = 2048):
+    """(t, obj_sorted, edge_sorted): adds the near-miss silhouette
+    candidate (argmin of the fused-space line-distance metric over forward
+    objects) for the generic soft-edge estimator — the generic analogue of
+    ``sweep2.sweep2_nearest_edge``."""
+    from raytracing_tests_tpu.kernels.sweep2 import pack_rays
 
+    rays, B = pack_rays(o, d, time_ratio, t_limit, block)
+    t, obj, edge = _sweep2g(accel.otab, accel.gaabb, rays, accel.gr,
+                            accel.has_motion, block,
+                            n_pgroups=getattr(accel, "n_pgroups", 0),
+                            n_sgroups=getattr(accel, "n_sgroups", 0),
+                            gkinds=getattr(accel, "gkinds", None),
+                            with_edge=True)
+    return t[0, :B], obj[0, :B], edge[0, :B]
+
+
+def _ri_probe_g(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
+                has_motion, need=None, g0=0, row0=0):
+    """Surrounding-RI containment sum at probe point q, generic mode: the
+    rotated point-in-primitive test in the fused unit space
+    (e = M (q - c + omt*dp); ellipsoid |e|^2 <= 1, cuboid all |e| <= 0.5).
+    Straight-line, branch-free, plain-value accumulators — branches cost
+    more than the few PROBE_GR-row containment bodies they could skip
+    (see ``sweep2._ri_probe``)."""
+    del need  # containment is exact; no skip is profitable (see docstring)
     L = qx.shape[1]
 
-    def body(acc_sc, cnt_sc):
-        acc_sc[:] = jnp.zeros((1, L), jnp.float32)
-        cnt_sc[:] = jnp.zeros((1, L), jnp.float32)
-        for g in range(g0, g0 + n_groups):
-            pin = ((qx >= gaabb_ref[g, 0]) & (qx <= gaabb_ref[g, 3])
-                   & (qy >= gaabb_ref[g, 1]) & (qy <= gaabb_ref[g, 4])
-                   & (qz >= gaabb_ref[g, 2]) & (qz <= gaabb_ref[g, 5]))
-            if need is not None:
-                pin = pin & need
-
-            @pl.when(jnp.any(pin))
-            def _(g=g):
-                sl = slice(g * gr, (g + 1) * gr)
-                lox, loy, loz, _, _, _ = _local_frame(
-                    otab_ref, sl, qx, qy, qz,
-                    jnp.zeros((1, L), jnp.float32),
-                    jnp.zeros((1, L), jnp.float32),
-                    jnp.zeros((1, L), jnp.float32), omt, has_motion)
-                sx = otab_ref[sl, GO_SX : GO_SX + 1]
-                sy = otab_ref[sl, GO_SY : GO_SY + 1]
-                sz = otab_ref[sl, GO_SZ : GO_SZ + 1]
-                ex, ey, ez = lox / sx, loy / sy, loz / sz
-                in_e = ex * ex + ey * ey + ez * ez <= 1.0
-                in_c = ((jnp.abs(ex) <= 0.5) & (jnp.abs(ey) <= 0.5)
-                        & (jnp.abs(ez) <= 0.5))
-                typ = otab_ref[sl, GO_TYPE : GO_TYPE + 1]
-                inside = (jnp.where(typ == _ELL, in_e,
-                                    (typ == float(geometry.CUBOID)) & in_c)
-                          & (otab_ref[sl, GO_VALID : GO_VALID + 1] > 0.0))
-                ri_col = otab_ref[sl, GO_RI : GO_RI + 1]
-                acc_sc[:] = acc_sc[:] + jnp.sum(
-                    jnp.where(inside, ri_col, 0.0), axis=0, keepdims=True)
-                cnt_sc[:] = cnt_sc[:] + jnp.sum(
-                    inside.astype(jnp.float32), axis=0, keepdims=True)
-        return acc_sc[:], cnt_sc[:]
-
-    acc, cnt = pl.run_scoped(
-        body,
-        acc_sc=pltpu.VMEM((1, L), jnp.float32),
-        cnt_sc=pltpu.VMEM((1, L), jnp.float32),
-    )
+    acc = jnp.zeros((1, L), jnp.float32)
+    cnt = jnp.zeros((1, L), jnp.float32)
+    for g in range(g0, g0 + n_groups):
+        r0 = row0 + (g - g0) * gr
+        sl = slice(r0, r0 + gr)
+        zero = jnp.zeros((1, L), jnp.float32)
+        ex, ey, ez, _, _, _ = _fused_frame(
+            otab_ref, sl, qx, qy, qz, zero, zero, zero, omt, has_motion)
+        in_e = ex * ex + ey * ey + ez * ez <= 1.0
+        in_c = ((jnp.abs(ex) <= 0.5) & (jnp.abs(ey) <= 0.5)
+                & (jnp.abs(ez) <= 0.5))
+        typ = otab_ref[sl, GO_TYPE : GO_TYPE + 1]
+        inside = (jnp.where(typ == _ELL, in_e,
+                            (typ == float(geometry.CUBOID)) & in_c)
+                  & (otab_ref[sl, GO_VALID : GO_VALID + 1] > 0.0))
+        ri_col = otab_ref[sl, GO_RI : GO_RI + 1]
+        acc = acc + jnp.sum(
+            jnp.where(inside, ri_col, 0.0), axis=0, keepdims=True)
+        cnt = cnt + jnp.sum(
+            inside.astype(jnp.float32), axis=0, keepdims=True)
     return jnp.where(acc > 1.0, acc / jnp.maximum(cnt, 1.0), 1.0)
 
 
@@ -445,8 +644,10 @@ def _winner_refine_g(rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit,
     """Per-lane exact re-intersection of the winning generic object from
     its gathered row: local-frame transform, type-selected primitive test,
     and the world-space hit normal (rotated ``geometry.primitive_normal``).
-    Returns (t_best, t_safe, px, py, pz, nx, ny, nz) — the contract of
-    ``sweep2._winner_refine``."""
+    Returns (t_best, t_safe, px, py, pz, nx, ny, nz, lpx, lpy, lpz) — the
+    contract of ``sweep2._winner_refine``; (lpx, lpy, lpz) is the
+    unit-space hit position (``Hit.local_pos`` = p_local / scale,
+    ``ops/intersect.py:68``) consumed by cube-sphere texturing."""
     from raytracing_tests_tpu.kernels.sweep2 import (
         FT_CX, FT_CY, FT_CZ, FT_DPX, FT_DPY, FT_DPZ)
 
@@ -470,7 +671,7 @@ def _winner_refine_g(rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit,
     sx = rows[GFT_SX : GFT_SX + 1]
     sy = rows[GFT_SY : GFT_SY + 1]
     sz = rows[GFT_SZ : GFT_SZ + 1]
-    t_e, t_c = _both_t(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz)
+    t_e, t_c = _both_t_exact(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz)
     is_ell = rows[GFT_TYPE : GFT_TYPE + 1] == _ELL
     t_ref = jnp.where(is_ell, t_e, t_c)
     ok = hit & (t_ref < BIG_T)
@@ -520,4 +721,8 @@ def _winner_refine_g(rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit,
     px = ox + t_safe * dx
     py = oy + t_safe * dy
     pz = oz + t_safe * dz
-    return t_best, t_safe, px, py, pz, nx, ny, nz
+    # Unit-space hit position (miss/padding rows carry zero scale -> guard).
+    lpx = plx / jnp.where(sx > 0.0, sx, 1.0)
+    lpy = ply / jnp.where(sy > 0.0, sy, 1.0)
+    lpz = plz / jnp.where(sz > 0.0, sz, 1.0)
+    return t_best, t_safe, px, py, pz, nx, ny, nz, lpx, lpy, lpz

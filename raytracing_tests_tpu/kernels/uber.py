@@ -25,15 +25,16 @@ megakernel (``01_BoundingVolumeHierarchy/computeShaderSrc.glsl:675-705``):
     active, any flush pending, or any round left".
 
 Scope (asserted by the driver): single-focus perspective camera, no
-aa_grid, no textures.  Both scene modes are served — the sphere-mode MXU
-sweep (``kernels/sweep2``) and the generic rotated ellipsoid/cuboid
-grouped sweep (``kernels/sweep2g``, incl. the rotated-containment RI
-probe) — under either shading model: 'bvh' (INW shading, emissive lights
-with in-kernel shadow-ray sweeps + the paint-it-white abort) or
-'materials' (IOW-03: per-ray medium-RI stack in the pool record, Schlick
-contribution shift, fibonacci-hemisphere scatter).  ``ops.render``
-remains the general path (textures, orthographic/multi-focus cameras,
-aa_grid).
+aa_grid.  Both scene modes are served — the sphere-mode MXU sweep
+(``kernels/sweep2``) and the generic rotated ellipsoid/cuboid grouped
+sweep (``kernels/sweep2g``, incl. the rotated-containment RI probe) —
+under either shading model: 'bvh' (INW shading, emissive lights with
+in-kernel shadow-ray sweeps + the paint-it-white abort) or 'materials'
+(IOW-03: per-ray medium-RI stack in the pool record, Schlick contribution
+shift, fibonacci-hemisphere scatter), with cube-sphere atlas texturing
+in-kernel (``kernels/texture``: factored one-hot MXU gathers — the
+sampler-array of 03_Texturing glsl:9-10).  ``ops.render`` remains the
+general path (orthographic/multi-focus cameras, aa_grid, normals view).
 """
 
 from __future__ import annotations
@@ -74,7 +75,8 @@ _ABLATE = frozenset(_os.environ.get("UBER_ABLATE", "").split(","))
 def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                  n_pad, n_groups, gr, has_motion, has_dielectrics, Q,
                  B_total, use_mxu, max_iters, pops, mode="spheres",
-                 n_lights=0, shading="bvh", order="sample", n_pgroups=0):
+                 n_lights=0, shading="bvh", order="sample", n_pgroups=0,
+                 tex_meta=None, n_sgroups=0, gkinds=None):
     aspect = W / H
     # Queued-record width: o3, d3, contrib, bounced (+ medium, parent under
     # the materials shading — the per-ray medium-RI stack rides the record).
@@ -90,8 +92,15 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
     mid_s = spp // 2  # finalize keeps the mid sample's depth
 
     def kernel(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref, cam_ref,
-               lights_ref, out_ref, stat_ref, cur_sc, meta_sc, q_sc, acc_sc,
-               t_sc, obj_sc, res_sc):
+               lights_ref, *rest):
+        if tex_meta is not None:
+            thi_ref, tmid_ref, tlo_ref = rest[:3]
+            tex = (thi_ref, tmid_ref, tlo_ref, tex_meta)
+            rest = rest[3:]
+        else:
+            tex = None
+        (out_ref, stat_ref, cur_sc, meta_sc, q_sc, acc_sc,
+         t_sc, obj_sc, res_sc, trig_sc) = rest
         L = cur_sc.shape[1]
         pid = pl.program_id(0)
         base = pid * (R * L)
@@ -115,6 +124,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
         meta_sc[0:1] = jnp.full((1, L), -1, jnp.int32)  # round counter k
         q_sc[:] = jnp.zeros((Q * REC, L), jnp.float32)
         acc_sc[:] = jnp.zeros((4, L), jnp.float32)
+        trig_sc[:] = jnp.zeros((2, L), jnp.float32)
 
         def raygen(p):
             """Primary ray for global lane index p ((1, L) i32) -> (16, L).
@@ -150,11 +160,16 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             r = jnp.where(sf == 0.0, 0.0, r)
             th = GOLDEN_ANGLE * sf
             if "trig" in _ABLATE:  # ablation: measure sunflower trig cost
-                offx = r * 0.6
-                offy = r * 0.8
+                cth = jnp.full((1, L), 0.6, jnp.float32)
+                sth = jnp.full((1, L), 0.8, jnp.float32)
             else:
-                offx = r * jnp.cos(th)
-                offy = r * jnp.sin(th)
+                # Computed ONCE per round here; carried in trig_sc for the
+                # deviate/fibonacci scatter cones (same angle, s is a round
+                # constant) — vector sin/cos is expensive under Mosaic.
+                cth = jnp.cos(th)
+                sth = jnp.sin(th)
+            offx = r * cth
+            offy = r * sth
             rrx, rry, rrz, rux, ruy, ruz = _cross_up(bdx, bdy, bdz)
 
             fd = cam_ref[0, CAM_FD]
@@ -172,12 +187,13 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             oz = tipz - ddz
             omt = 1.0 - sf * (1.0 / n)  # time_ratio = s / spp
             ones1 = jnp.ones((1, L), jnp.float32)
-            return jnp.concatenate([
+            new16 = jnp.concatenate([
                 ox, oy, oz, ddx, ddy, ddz, omt, tmax_row,
                 ones1, zeros1,
                 ones1, ones1,  # medium, parent_medium (air)
                 jnp.zeros((4, L), jnp.float32),
             ], axis=0)
+            return new16, cth, sth
 
         def pof(kk):
             """Global primary index of round ``kk`` ((1, L) i32)."""
@@ -233,12 +249,14 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
 
             @pl.when(jnp.any(can_re))
             def _():
-                new16 = raygen(p_new)
+                new16, cth, sth = raygen(p_new)
                 cur_sc[:] = jnp.where(can_re, new16, cur_sc[:])
                 acc_sc[:] = jnp.where(
                     can_re,
                     jnp.concatenate([zeros1, zeros1, zeros1, tmax_row]),
                     acc_sc[:])
+                trig_sc[:] = jnp.where(
+                    can_re, jnp.concatenate([cth, sth], axis=0), trig_sc[:])
 
             k = jnp.where(can_re, k_next, jnp.where(fin, -2, k))
             act = act | can_re
@@ -269,7 +287,9 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                               cur[2:3], dx, dy, dz, cur[6:7], live,
                               cur[7:8], t_sc, obj_sc, n_groups=n_groups,
                               gr=gr, has_motion=has_motion,
-                              cnt_ref=stat_ref)
+                              cnt_ref=stat_ref, gkinds=gkinds,
+                              n_sgroups=n_sgroups,
+                              sg0=n_groups + n_pgroups)
             hit = (obj_sc[:] >= 0) & act
             tt_ = (dy + 1.0) * 0.5
             bgr = (1.0 - tt_) * bg_bottom[0] + tt_ * bg_top[0]
@@ -279,6 +299,9 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             # Hit blocks run the full shade; pure-miss (sky) blocks write
             # background only — lax.cond does not survive Mosaic, so the
             # branch goes through pl.when and a results scratch.
+            trig = (None if "nocarry" in _ABLATE
+                    else (trig_sc[0:1], trig_sc[1:2]))
+
             @pl.when(jnp.any(hit))
             def _():
                 if shading == "materials":
@@ -294,7 +317,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                         rows, *refined, dx, dy, dz, cur[6:7], contrib,
                         cur[9:10], act, sidx, cur[10:11], cur[11:12], hit,
                         bgr, bgg, bgb, spp=spp, max_bounces=max_bounces,
-                        t_max=t_max)
+                        t_max=t_max, tex=tex, trig=trig)
                 else:
                     (r_, g_, b_, t_, refr_, refl_, sr_, sl_,
                      wh_) = _shade_hits(
@@ -306,7 +329,8 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                         has_dielectrics=has_dielectrics, spp=spp,
                         max_bounces=max_bounces, t_max=t_max,
                         use_mxu=use_mxu, mode=mode, lights_ref=lights_ref,
-                        n_lights=n_lights, n_pgroups=n_pgroups)
+                        n_lights=n_lights, n_pgroups=n_pgroups, tex=tex,
+                        gkinds=gkinds, n_sgroups=n_sgroups, trig=trig)
                 res_sc[:] = jnp.concatenate([
                     r_, g_, b_, t_, refr_, refl_,
                     sr_.astype(jnp.float32), sl_.astype(jnp.float32),
@@ -480,14 +504,18 @@ def pack_camera(camera, row_stride=1.0, row0=0.0):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "B", "L", "R", "gr", "use_mxu", "full_height",
-                     "n_lights", "order"))
+                     "n_lights", "order", "tex_meta", "n_sgroups",
+                     "gkinds"))
 def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
                gr: int, use_mxu: bool, full_height: int = 0, lts=None,
-               n_lights: int = 0, order: str = "sample"):
+               n_lights: int = 0, order: str = "sample", tex3=None,
+               tex_meta=None, n_sgroups: int = 0, gkinds=None):
+    from raytracing_tests_tpu.kernels.sweep2 import PROBE_GR
+
     fhi, fmid, flo = ftab3
     n_pad = fhi.shape[1]  # MAIN rows (ftab width = winner-id space)
     n_groups = n_pad // gr
-    n_pgroups = (otab.shape[0] - n_pad) // gr  # trailing probe groups
+    n_pgroups = (otab.shape[0] - n_pad) // PROBE_GR  # trailing probe groups
     NB = -(-B // (R * L))
     Q = cfg.queue_capacity
     # Each round costs <= pops node-iterations (the in-kernel budget below)
@@ -508,18 +536,25 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
         has_dielectrics=cfg.has_dielectrics, Q=Q, B_total=B,
         use_mxu=use_mxu, max_iters=max_iters, pops=cfg.pops,
         mode=cfg.pallas_mode, n_lights=n_lights, shading=cfg.shading,
-        order=order, n_pgroups=n_pgroups)
+        order=order, n_pgroups=n_pgroups, tex_meta=tex_meta,
+        n_sgroups=n_sgroups, gkinds=gkinds)
     lane_spec = lambda rows: pl.BlockSpec((rows, L), lambda i: (0, i),
                                           memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
     smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.SMEM)
+    inputs = [otab, fhi, fmid, flo, gaabb]
+    in_specs = [full(otab), full(fhi), full(fmid), full(flo), full(gaabb),
+                smem(cam), smem(lts)]
+    inputs = inputs + [cam, lts]
+    if tex_meta is not None:
+        inputs = inputs + list(tex3)
+        in_specs = in_specs + [full(t) for t in tex3]
     out, stat = pl.pallas_call(
         kernel,
         grid=(NB,),
-        in_specs=[full(otab), full(fhi), full(fmid), full(flo), full(gaabb),
-                  smem(cam), smem(lts)],
+        in_specs=in_specs,
         out_specs=(lane_spec(OUT_ROWS), lane_spec(4)),
         out_shape=(
             jax.ShapeDtypeStruct((OUT_ROWS, NB * L), jnp.float32),
@@ -534,9 +569,10 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
             pltpu.VMEM((1, L), jnp.float32),  # sweep t
             pltpu.VMEM((1, L), jnp.int32),  # sweep obj
             pltpu.VMEM((40, L), jnp.float32),  # shade results
+            pltpu.VMEM((2, L), jnp.float32),  # carried (cos, sin) of s
         ],
         interpret=_interpret(),
-    )(otab, fhi, fmid, flo, gaabb, cam, lts)
+    )(*inputs)
     return out, stat, NB
 
 
@@ -569,12 +605,21 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     assert cfg.shading in ("bvh", "materials"), cfg.shading
     if cfg.shading == "materials":
         assert lights is None, "materials shading: no emissive lights"
-    assert scene.textures is None, "uber path is untextured"
     assert not cfg.aa_grid, "uber path: DOF sampling only (no aa_grid)"
     assert not cfg.show_normals
     assert camera.focus_dist.shape[0] == 1, "uber path: single focus"
     _assert_perspective(camera)
     lts, n_lights = pack_lights(lights)
+    if scene.textures is not None:
+        from raytracing_tests_tpu.kernels.texture import pack_atlas
+
+        tex3, tex_meta = pack_atlas(scene.textures)
+    else:
+        tex3, tex_meta = None, None
+    # Small scenes: clamp the group size to the (static) capacity — a
+    # 3-object scene at gr=64 would sweep 64 rows of which 61 are dead
+    # padding every iteration (8x the useful work).
+    gr = min(gr, max(8, -(-scene.capacity // 8) * 8))
     H, W, S = cfg.height, cfg.width, cfg.spp
     B = H * W * S
     if cfg.pallas_mode == "spheres":
@@ -590,7 +635,10 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     cam = pack_camera(camera)
     out, stat, NB = _uber_call(accel.otab, accel.ftab3, accel.gaabb, cam,
                                cfg, B, L, R, gr, use_mxu, lts=lts,
-                               n_lights=n_lights, order=order)
+                               n_lights=n_lights, order=order, tex3=tex3,
+                               tex_meta=tex_meta,
+                               n_sgroups=getattr(accel, "n_sgroups", 0),
+                               gkinds=getattr(accel, "gkinds", None))
     if order == "pixel":
         # out: (4*NPIX, NB*L) per-pixel sums of gamma'd samples (+ the mid
         # sample's depth in channel 3).  Global column j's first primary is

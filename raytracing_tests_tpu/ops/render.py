@@ -101,12 +101,18 @@ class RenderConfig:
         refr = np.asarray(scene.refractivity) * np.asarray(scene.valid)
         dmask = np.asarray(scene.valid) & (
             np.asarray(scene.refractive_index) != 1.0)
+        has_d = bool((refr > 0.002).any())
+        # The probe sub-table is consumed only on the has_dielectrics
+        # bvh-shading path (needs_sur_ri below) — don't spend the VMEM rows
+        # otherwise (a 1k-object scene of inert ri=1.5 objects would carry
+        # a full scene-sized probe copy it never reads).
+        use_probe = has_d and self.shading != "materials"
         return dataclasses.replace(
             self,
-            has_dielectrics=bool((refr > 0.002).any()),
+            has_dielectrics=has_d,
             pallas_mode=scene_mode(scene),
             has_motion=scene_has_motion(scene),
-            probe_rows=int(dmask.sum()),
+            probe_rows=int(dmask.sum()) if use_probe else 0,
         )
 
     @property

@@ -121,10 +121,18 @@ def render_uber_sharded(
         _assert_perspective, _uber_call, make_accel2, pack_camera,
         pack_lights)
 
-    assert cfg.shading == "bvh"
-    assert scene.textures is None
+    assert cfg.shading in ("bvh", "materials"), cfg.shading
+    if cfg.shading == "materials":
+        assert lights is None, "materials shading: no emissive lights"
     _assert_perspective(camera)
     lts, n_lights = pack_lights(lights)
+    if scene.textures is not None:
+        from raytracing_tests_tpu.kernels.texture import pack_atlas
+
+        tex3, tex_meta = pack_atlas(scene.textures)
+    else:
+        tex3, tex_meta = None, None
+    gr = min(gr, max(8, -(-scene.capacity // 8) * 8))
     H, W, S = cfg.height, cfg.width, cfg.spp
     n = mesh.shape[ROWS_AXIS]
     h = -(-H // n)
@@ -144,34 +152,39 @@ def render_uber_sharded(
 
     if lts is None:
         lts = jnp.zeros((1, 8), jnp.float32)
+    tex_in = tex3 if tex3 is not None else ()
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P()),
-        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P()),
+        in_specs=(P(), P(), P()) + (P(),) * len(tex_in),
+        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(), P()),
         check_vma=False,
     )
-    def block(accel_, camera_, lts_):
+    def block(accel_, camera_, lts_, *tex_):
         dev = jax.lax.axis_index(ROWS_AXIS)
         cam = pack_camera(camera_, row_stride=float(n),
                           row0=dev.astype(jnp.float32))
         out, stat, _ = _uber_call(
             accel_.otab, accel_.ftab3, accel_.gaabb, cam, shard_cfg,
             B_shard, L, R, gr, False, full_height=H, lts=lts_,
-            n_lights=n_lights)
+            n_lights=n_lights, tex3=tex_ or None, tex_meta=tex_meta,
+            n_sgroups=getattr(accel_, "n_sgroups", 0),
+            gkinds=getattr(accel_, "gkinds", None))
         NB = -(-B_shard // (R * L))
         o4 = out.reshape(4, R, NB, L).transpose(2, 1, 3, 0)
         o4 = o4.reshape(NB * R * L, 4)[:B_shard]
         colors = o4[:, :3].reshape(h, W, S, 3)
         pt = o4[:, 3].reshape(h, W, S)
         rays = jax.lax.psum(jnp.sum(stat[0]), ROWS_AXIS)
-        return colors, pt, rays
+        dropped = jax.lax.psum(jnp.sum(stat[1]), ROWS_AXIS)
+        return colors, pt, rays, dropped
 
-    colors, depths, rays = block(accel, camera, lts)
+    colors, depths, rays, dropped = block(accel, camera, lts, *tex_in)
     # device d's local row r is global row r*n + d: de-interleave.
     colors = colors.reshape(n, h, W, S, 3).swapaxes(0, 1).reshape(Hp, W, S, 3)[:H]
     depths = depths.reshape(n, h, W, S).swapaxes(0, 1).reshape(Hp, W, S)[:H]
     out = finalize(colors, depths, cfg)
     out["rays"] = rays
+    out["rays_dropped"] = dropped
     return out

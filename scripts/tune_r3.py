@@ -10,7 +10,9 @@ import time
 import jax
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(__file__))
+# Repo root importable when run as `python scripts/tune_r3.py` (do NOT use
+# PYTHONPATH: it breaks the axon PJRT plugin discovery on this image).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from raytracing_tests_tpu.kernels.uber import render_uber
 from raytracing_tests_tpu.ops.render import RenderConfig
@@ -44,15 +46,17 @@ def main():
     cfg = RenderConfig(width=800, height=450, spp=100, max_bounces=8,
                        intersector="pallas").for_scene(s)
 
+    # NOTE: the output tile is (4R, L) f32 — R=192 at L=2048 blows the 16M
+    # scoped-VMEM limit (measured: 672K over).
     variants = [
-        (2048, 96, 64, 3),    # bench config (baseline)
-        (2048, 192, 64, 3),
-        (2048, 384, 64, 3),
-        (1024, 192, 64, 3),
-        (4096, 96, 64, 3),
         (2048, 96, 32, 3),
+        (2048, 96, 16, 3),
+        (2048, 48, 64, 3),
+        (1024, 96, 64, 3),
         (2048, 96, 128, 3),
-        (2048, 192, 128, 3),
+        (2048, 96, 64, 2),
+        (2048, 96, 32, 2),
+        (4096, 48, 32, 3),
     ]
     for L, R, gr, q in variants:
         run(f"L{L} R{R} gr{gr} q{q}",

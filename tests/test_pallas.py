@@ -414,6 +414,93 @@ def test_uber_materials_nested_dielectric():
     assert np.isnan(iu).sum() == 0
 
 
+def test_uber_textured_matches_queue():
+    """Persistent kernel with IN-KERNEL cube-sphere atlas texturing
+    (kernels/texture.py: factored one-hot MXU gathers, exact hi/mid/lo
+    texels) vs the queue renderer's XLA sample_atlas path on the texturing
+    BASELINE scene (checker + fbm noise + gradient atlases)."""
+    import jax
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import render_stats
+
+    scene, cam = examples.texturing_scene()
+    cfg = RenderConfig(width=32, height=18, spp=2, max_bounces=3,
+                       intersector="pallas").for_scene(scene)
+    oq = jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, cam)
+    ou = render_uber(scene, cam, cfg, L=256, R=8, gr=64)
+    iq, iu = np.asarray(oq["image"]), np.asarray(ou["image"])
+    assert abs(float(iq.mean()) - float(iu.mean())) < 5e-3
+    assert (np.abs(iq - iu).max(axis=-1) > 0.05).mean() < 0.03
+    assert int(oq["rays"]) == int(ou["rays"])
+    assert int(ou["rays_dropped"]) == 0
+    assert np.isnan(iu).sum() == 0
+
+
+def test_uber_textured_generic_matches_queue():
+    """In-kernel texturing on a GENERIC scene (textured rotated box +
+    textured sphere): exercises the unit-space local_pos from the generic
+    winner refine feeding cube_sphere_uv."""
+    import jax
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import render_stats
+    from raytracing_tests_tpu.scene import textures as tex
+    from raytracing_tests_tpu.scene.types import Camera, SceneBuilder
+
+    b = SceneBuilder()
+    checker = b.add_texture(tex.checker_atlas(32))
+    grad = b.add_texture(tex.gradient_atlas(32))
+    b.add_box((-0.8, 0.0, -4.0), (0.9, 0.9, 0.9),
+              rotation_deg=(0.0, 30.0, 0.0), color=(1.0, 1.0, 1.0),
+              reflectivity=0.85, scatter_reflect=0.2, texture_index=checker)
+    b.add_sphere((0.9, 0.0, -3.6), 0.55, color=(1.0, 0.9, 0.9),
+                 reflectivity=0.9, scatter_reflect=0.2, texture_index=grad)
+    b.add_sphere((0.0, -100.6, -4.0), 100.0, color=(0.6, 0.6, 0.6),
+                 reflectivity=0.7, scatter_reflect=0.9)
+    scene = b.build()
+    cam = Camera.make((0.0, 0.4, 0.8), (0.0, -0.1, -1.0), fov_y_deg=55.0,
+                      focus_dist=4.2)
+    cfg = RenderConfig(width=32, height=18, spp=2, max_bounces=4,
+                       intersector="pallas").for_scene(scene)
+    assert cfg.pallas_mode == "generic"
+    oq = jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, cam)
+    ou = render_uber(scene, cam, cfg, L=256, R=8, gr=16)
+    iq, iu = np.asarray(oq["image"]), np.asarray(ou["image"])
+    assert abs(float(iq.mean()) - float(iu.mean())) < 5e-3
+    assert (np.abs(iq - iu).max(axis=-1) > 0.05).mean() < 0.03
+    assert int(ou["rays_dropped"]) == 0
+    assert np.isnan(iu).sum() == 0
+
+
+def test_uber_generic_supergroups_and_kinds():
+    """The two-level super-group cull + static type specialization on a
+    1k-object-family grid (side=12 -> 145 objects, >8 groups at gr=16 so
+    the super level actually forms) must agree with the queue renderer."""
+    import jax
+
+    from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import render_stats
+
+    scene, cam = examples.bvh_grid_scene(side=12)
+    accel = make_accel2g(scene, gr=16)
+    assert accel.n_sgroups >= 2, accel.n_sgroups  # super level formed
+    assert accel.gkinds is not None and "m" in "".join(accel.gkinds)
+    cfg = RenderConfig(width=40, height=24, spp=2, max_bounces=4,
+                       intersector="pallas").for_scene(scene)
+    oq = jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, cam)
+    ou = render_uber(scene, cam, cfg, L=256, R=4, gr=16)
+    iq, iu = np.asarray(oq["image"]), np.asarray(ou["image"])
+    assert abs(float(iq.mean()) - float(iu.mean())) < 5e-3
+    assert (np.abs(iq - iu).max(axis=-1) > 0.05).mean() < 0.03
+    dq = np.abs(np.asarray(oq["depth"]) - np.asarray(ou["depth"]))
+    assert (dq > 1e-2).mean() < 0.01
+    rq, ru = int(oq["rays"]), int(ou["rays"])
+    assert abs(rq - ru) / rq < 0.02, (rq, ru)
+    assert int(ou["rays_dropped"]) == 0
+
+
 def test_uber_partial_final_block_and_drop_accounting():
     """Two persistent-kernel edge cases: (a) B not divisible by R*L — the
     tail grid block must render its partial round correctly; (b) a

@@ -87,3 +87,58 @@ def test_uber_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(single["depth"]), np.asarray(sharded["depth"]), atol=1e-4)
     assert int(single["rays"]) == int(sharded["rays"])
+
+
+def test_uber_sharded_materials_shading():
+    """Sharded persistent kernel under the IOW-03 MATERIALS shading model
+    == single-device (the second flagship rides the multi-chip path)."""
+    import numpy as np
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import RenderConfig
+    from raytracing_tests_tpu.parallel.render_sharded import render_uber_sharded
+    from raytracing_tests_tpu.scene import examples
+
+    scene, cam = examples.materials_scene()
+    cfg = RenderConfig(width=40, height=24, spp=2, max_bounces=4,
+                       shading="materials",
+                       intersector="pallas").for_scene(scene)
+    single = render_uber(scene, cam, cfg, L=256, R=4, gr=16)
+    mesh = make_mesh(8)
+    sharded = render_uber_sharded(scene, cam, cfg, mesh, L=256, R=4, gr=16)
+    np.testing.assert_allclose(
+        np.asarray(single["image"]), np.asarray(sharded["image"]), atol=2e-6)
+    assert int(single["rays"]) == int(sharded["rays"])
+    assert int(sharded["rays_dropped"]) == 0
+
+
+def test_uber_sharded_lights_and_textures():
+    """Sharded persistent kernel with emissive lights, and with an atlas-
+    textured scene (the in-kernel texture tables replicate per device)."""
+    import numpy as np
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import RenderConfig, extract_lights
+    from raytracing_tests_tpu.parallel.render_sharded import render_uber_sharded
+    from raytracing_tests_tpu.scene import examples
+
+    mesh = make_mesh(8)
+    scene, cam = examples.lights_scene()
+    lights = extract_lights(scene)
+    cfg = RenderConfig(width=40, height=24, spp=2, max_bounces=4,
+                       intersector="pallas").for_scene(scene)
+    single = render_uber(scene, cam, cfg, lights=lights, L=256, R=4, gr=16)
+    sharded = render_uber_sharded(scene, cam, cfg, mesh, lights=lights,
+                                  L=256, R=4, gr=16)
+    np.testing.assert_allclose(
+        np.asarray(single["image"]), np.asarray(sharded["image"]), atol=2e-6)
+    assert int(single["rays"]) == int(sharded["rays"])
+
+    scene, cam = examples.texturing_scene()
+    cfg = RenderConfig(width=40, height=24, spp=2, max_bounces=3,
+                       intersector="pallas").for_scene(scene)
+    single = render_uber(scene, cam, cfg, L=256, R=4, gr=16)
+    sharded = render_uber_sharded(scene, cam, cfg, mesh, L=256, R=4, gr=16)
+    np.testing.assert_allclose(
+        np.asarray(single["image"]), np.asarray(sharded["image"]), atol=2e-6)
+    assert int(single["rays"]) == int(sharded["rays"])
