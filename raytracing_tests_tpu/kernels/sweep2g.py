@@ -15,18 +15,17 @@ zero-scatter, ~100%-occupancy schedule as the headline sphere scene:
     (huge objects isolated first, groups ordered near-to-far from the
     camera); per group the frame transform and primitive tests run as
     (gr, 1) x (1, L) broadcast VPU ops.
-  - The CANDIDATE stage is fast, the WINNER stage exact: the per-object
-    frame is a host-precomputed fused matrix M = diag(1/scale) @ R^T, so
-    one 9-FMA transform lands rays directly in the unit-primitive space
-    (ellipsoid = unit sphere, cuboid = unit cube) — 6 fewer (gr, L)
-    divisions per group than the literal transform-then-divide.  Candidate
-    t and the packed (t, id) ordering key carry a few-ulp difference vs
-    the oracle arithmetic; the one-hot-gathered winner is then re-solved
-    EXACTLY in the oracle's own division-based arithmetic
-    (``_winner_refine_g``), so hit t / normal / local position are exact
-    and only near-exact ties can flip the winner id (statistical parity —
-    the same bargain as the sphere path's packed-key quantization,
-    PERFORMANCE.md fact 11).
+  - The CANDIDATE stage runs the ORACLE's divide-by-scale arithmetic
+    (``intersect_brute`` semantics: rotate by R^T, divide by scale) —
+    bitwise-identical candidate t to the queue renderer, which the
+    occlusion-grade consumers (shadow sweeps) need for visibility parity.
+    A fused-frame M = diag(1/s) @ R^T reciprocal variant exists behind
+    the ``fusedbody`` ablation: fewer ops on paper, measured ~34% SLOWER
+    under Mosaic (bvh1k 179 vs 133 us/iter, round 3).  The packed (t, id)
+    key quantizes t by the 11-bit id field; the one-hot-gathered winner is
+    re-solved EXACTLY (``_winner_refine_g``), so only near-exact ties can
+    flip the winner id (statistical parity — the same bargain as the
+    sphere path's packed-key quantization, PERFORMANCE.md fact 11).
   - Per-group STATIC TYPE SPECIALIZATION: group kinds ('e'llipsoid /
     'c'uboid / 'm'ixed), censused at accel-build time from the concrete
     scene, skip the other primitive's test entirely for single-type groups
@@ -76,6 +75,10 @@ GO_DPX, GO_DPY, GO_DPZ = 3, 4, 5
     GO_M00, GO_M01, GO_M02, GO_M10, GO_M11, GO_M12, GO_M20, GO_M21, GO_M22,
 ) = range(6, 15)
 GO_TYPE, GO_VALID, GO_RI = 15, 16, 17
+# Raw rotation + scale copies (v1-body ablation: candidate arithmetic in
+# the divide-by-scale form; see group_body's "v1body" branch).
+GO_RR00 = 18  # .. GO_RR22 = 26 (row-major R)
+GO_SX, GO_SY, GO_SZ = 27, 28, 29
 
 SG = 8  # groups per super-group (two-level culling)
 
@@ -120,6 +123,8 @@ def pack_tables_g(scene: Scene, order, n_pad: int, valid_mask=None):
     otab = otab.at[:n, GO_TYPE].set(s["obj_type"].astype(jnp.float32))
     otab = otab.at[:n, GO_VALID].set(valid.astype(jnp.float32))
     otab = otab.at[:n, GO_RI].set(s["refractive_index"])
+    otab = otab.at[:n, GO_RR00 : GO_RR00 + 9].set(R.reshape(n, 9))
+    otab = otab.at[:n, GO_SX : GO_SZ + 1].set(jnp.where(sc > 0, sc, 1.0))
 
     frows = [
         c[:, 0], c[:, 1], c[:, 2],
@@ -298,12 +303,13 @@ def _fused_frame(otab_ref, sl, ox, oy, oz, dx, dy, dz, omt, has_motion):
     return ex, ey, ez, fx, fy, fz
 
 
-def _both_t_exact(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz):
-    """Ellipsoid and cuboid t in the ORACLE's exact arithmetic (division by
-    scale, division by a — ``intersect_brute`` per-object semantics).  Used
-    only by the per-lane winner refine on (1, L) planes, where the division
-    cost is negligible; the grouped candidate stage uses the fused fast
-    forms above.  Zero-scale rows produce NaN; consumers select-guard."""
+def _ell_t_div(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz):
+    """Ellipsoid t in the ORACLE's divide-by-scale arithmetic
+    (``intersect_brute`` per-object semantics) — bitwise-identical
+    candidate t to the queue renderer (shadow-visibility parity), and
+    measured FASTER under Mosaic than the fused reciprocal form (see the
+    ``fusedbody`` ablation).  Zero-scale rows produce NaN; consumers
+    select-guard."""
     ex, ey, ez = lox / sx, loy / sy, loz / sz
     fx, fy, fz = ldx / sx, ldy / sy, ldz / sz
     a = fx * fx + fy * fy + fz * fz
@@ -316,8 +322,12 @@ def _both_t_exact(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz):
     t0 = (-half_b - sq) / a_safe
     t1 = (-half_b + sq) / a_safe
     t_e = jnp.where((t0 > t1) | (t0 < 0.0), t1, t0)
-    t_e = jnp.where(ok & (t_e > 0.0), t_e, BIG_T)
+    return jnp.where(ok & (t_e > 0.0), t_e, BIG_T)
 
+
+def _cub_t_div(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz):
+    """Cuboid slab t in the oracle's arithmetic (safe-inverse convention
+    of ``geometry.ray_cuboid_t``, local rotated space, +-0.5*scale)."""
     eps = 1e-12
 
     def axis(lo, ld, s):
@@ -334,8 +344,13 @@ def _both_t_exact(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz):
     tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
     tmax = jnp.minimum(jnp.minimum(x1, x2), x3)
     t_c = jnp.where(tmax > tmin, jnp.where(tmin > 0.0, tmin, tmax), BIG_T)
-    t_c = jnp.where(t_c > 0.0, t_c, BIG_T)
-    return t_e, t_c
+    return jnp.where(t_c > 0.0, t_c, BIG_T)
+
+
+def _both_t_exact(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz):
+    """Ellipsoid AND cuboid t, oracle arithmetic (see the two halves)."""
+    return (_ell_t_div(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz),
+            _cub_t_div(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz))
 
 
 def _ell_t(ex, ey, ez, fx, fy, fz):
@@ -422,19 +437,66 @@ def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
         if cnt_ref is not None:  # groups-entered diagnostic
             cnt_ref[3:4] = cnt_ref[3:4] + 1
         sl = slice(g * gr, (g + 1) * gr)
-        ex, ey, ez, fx, fy, fz = _fused_frame(
-            otab_ref, sl, ox, oy, oz, dx, dy, dz, omt, has_motion)
-        kind = gkinds[g] if gkinds is not None else "m"
         valid_col = otab_ref[sl, GO_VALID : GO_VALID + 1] > 0.0
-        if kind == "e" and not with_edge:
-            tc = _ell_t(ex, ey, ez, fx, fy, fz)
-        elif kind == "c" and not with_edge:
-            tc = _cub_t(ex, ey, ez, fx, fy, fz)
+        kind = gkinds[g] if gkinds is not None else "m"
+        if "fusedbody" in _abl and not with_edge:
+            # Ablation: the round-3a fused-frame candidate (M = diag(1/s)
+            # R^T, reciprocal arithmetic).  Fewer ops on paper, measured
+            # ~34% SLOWER under Mosaic than the divide-by-scale form below
+            # (bvh1k 179 vs 133 us/iter, round 3) — kept for remeasurement.
+            ex, ey, ez, fx, fy, fz = _fused_frame(
+                otab_ref, sl, ox, oy, oz, dx, dy, dz, omt, has_motion)
+            if kind == "e":
+                tc = _ell_t(ex, ey, ez, fx, fy, fz)
+            elif kind == "c":
+                tc = _cub_t(ex, ey, ez, fx, fy, fz)
+            else:
+                typ = otab_ref[sl, GO_TYPE : GO_TYPE + 1]
+                tc = jnp.where(typ == _ELL,
+                               _ell_t(ex, ey, ez, fx, fy, fz),
+                               _cub_t(ex, ey, ez, fx, fy, fz))
         else:
-            typ = otab_ref[sl, GO_TYPE : GO_TYPE + 1]
-            tc = jnp.where(typ == _ELL,
-                           _ell_t(ex, ey, ez, fx, fy, fz),
-                           _cub_t(ex, ey, ez, fx, fy, fz))
+            # Default candidate: the ORACLE's divide-by-scale arithmetic
+            # (intersect_brute semantics) — bitwise-identical candidate t
+            # to the queue renderer (shadow-visibility parity), and faster
+            # under Mosaic than the fused form (see ablation above).
+            rx = ox - otab_ref[sl, GO_PX : GO_PX + 1]
+            ry = oy - otab_ref[sl, GO_PY : GO_PY + 1]
+            rz = oz - otab_ref[sl, GO_PZ : GO_PZ + 1]
+            if has_motion:
+                rx = rx + omt * otab_ref[sl, GO_DPX : GO_DPX + 1]
+                ry = ry + omt * otab_ref[sl, GO_DPY : GO_DPY + 1]
+                rz = rz + omt * otab_ref[sl, GO_DPZ : GO_DPZ + 1]
+            r = [otab_ref[sl, GO_RR00 + i : GO_RR00 + i + 1]
+                 for i in range(9)]
+            lox = r[0] * rx + r[3] * ry + r[6] * rz
+            loy = r[1] * rx + r[4] * ry + r[7] * rz
+            loz = r[2] * rx + r[5] * ry + r[8] * rz
+            ldx = r[0] * dx + r[3] * dy + r[6] * dz
+            ldy = r[1] * dx + r[4] * dy + r[7] * dz
+            ldz = r[2] * dx + r[5] * dy + r[8] * dz
+            sx = otab_ref[sl, GO_SX : GO_SX + 1]
+            sy = otab_ref[sl, GO_SY : GO_SY + 1]
+            sz = otab_ref[sl, GO_SZ : GO_SZ + 1]
+            if kind == "e" and not with_edge:
+                tc = _ell_t_div(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz)
+            elif kind == "c" and not with_edge:
+                tc = _cub_t_div(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz)
+            else:
+                t_e, t_c = _both_t_exact(
+                    lox, loy, loz, ldx, ldy, ldz, sx, sy, sz)
+                typ = otab_ref[sl, GO_TYPE : GO_TYPE + 1]
+                tc = jnp.where(typ == _ELL, t_e, t_c)
+            if with_edge:
+                # Silhouette-candidate metric in /scale space: squared
+                # line-to-center distance minus 1 — the generic analogue
+                # of sweep2's (h/r)^2 - 1, on the SAME local values.
+                ex = lox / sx
+                ey = loy / sy
+                ez = loz / sz
+                fx = ldx / sx
+                fy = ldy / sy
+                fz = ldz / sz
         tc = jnp.where(valid_col, tc, BIG_T)
         rid = g * gr + jax.lax.broadcasted_iota(jnp.int32, (gr, L), 0)
         if with_edge:
