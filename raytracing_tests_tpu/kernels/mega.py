@@ -88,7 +88,7 @@ def _deviate(dx, dy, dz, sidx, spp: int, tan_theta, trig=None):
     return vx * inv, vy * inv, vz * inv
 
 
-def trace_shade_block(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
+def trace_shade_block(otab_ref, ftab_ref, gaabb_ref,
                       ox, oy, oz, dx, dy, dz, omt, tlim, contrib, bounced,
                       active, sidx, t_sc, obj_sc, *, n_pad, n_groups, gr,
                       has_motion, has_dielectrics, spp, max_bounces, t_max,
@@ -121,7 +121,7 @@ def trace_shade_block(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
     # (An all-miss fast branch via in-kernel lax.cond does not survive this
     # Mosaic toolchain — the unconditional path it is.)
     return _shade_hits(
-        otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
+        otab_ref, ftab_ref, gaabb_ref,
         ox, oy, oz, dx, dy, dz, omt, contrib, bounced, active, sidx,
         t_best, obj_best, hit, bgr, bgg, bgb, n_pad=n_pad,
         n_groups=n_groups, gr=gr, has_motion=has_motion,
@@ -130,7 +130,7 @@ def trace_shade_block(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
         n_pgroups=n_pgroups, tex=tex)
 
 
-def _gather_refine(fhi_ref, fmid_ref, flo_ref, obj_best, ox, oy, oz,
+def _gather_refine(ftab_ref, obj_best, ox, oy, oz,
                    dx, dy, dz, omt, t_best, hit, *, n_pad, has_motion,
                    mode):
     """One-hot winner gather + mode-dispatched exact re-intersection.
@@ -139,7 +139,7 @@ def _gather_refine(fhi_ref, fmid_ref, flo_ref, obj_best, ox, oy, oz,
     unit-space hit position for cube-sphere texturing; for isotropic
     spheres it IS the unit normal (``Hit.local_pos`` convention)."""
     L = ox.shape[1]
-    rows = _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best, n_pad, L)
+    rows = _gather_rows(ftab_ref, obj_best, n_pad, L)
     if mode == "spheres":
         refined = _winner_refine(rows, ox, oy, oz, dx, dy, dz, omt,
                                  t_best, hit, has_motion)
@@ -347,7 +347,7 @@ def _shade_materials_k(rows, t_best, t_safe, px, py, pz, nx, ny, nz,
             spawn_refl, white)
 
 
-def _shadow_factor_k(otab_ref, gaabb_ref, fhi_ref, lights_ref,
+def _shadow_factor_k(otab_ref, gaabb_ref, ftab_ref, lights_ref,
                      px, py, pz, nx, ny, nz, omt, sidx, did_hit, *,
                      n_pad, n_groups, gr, has_motion, use_mxu, mode,
                      spp, n_lights, gkinds=None, n_sgroups=0, sg0=0):
@@ -418,7 +418,7 @@ def _shadow_factor_k(otab_ref, gaabb_ref, fhi_ref, lights_ref,
             oh = (rid_full == obj_s).astype(jnp.bfloat16)
             dn = (((1,), (0,)), ((), ()))
             emis = _jax.lax.dot_general(
-                fhi_ref[FT_EMIS : FT_EMIS + 1], oh, dn,
+                ftab_ref[FT_EMIS : FT_EMIS + 1], oh, dn,
                 preferred_element_type=jnp.float32)
             vis = (obj_s >= 0) & (emis > 0.5)
             lit_sc[:] = lit_sc[:] + jnp.where(vis, 1.0, 0.0)
@@ -433,7 +433,7 @@ def _shadow_factor_k(otab_ref, gaabb_ref, fhi_ref, lights_ref,
     return lit * (1.0 / n_lights)
 
 
-def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
+def _shade_hits(otab_ref, ftab_ref, gaabb_ref,
                 ox, oy, oz, dx, dy, dz, omt, contrib, bounced, active, sidx,
                 t_best, obj_best, hit, bgr, bgg, bgb, *, n_pad, n_groups, gr,
                 has_motion, has_dielectrics, spp, max_bounces, t_max,
@@ -443,7 +443,7 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
     L = ox.shape[1]
     rows, (t_best, t_safe, px, py, pz, nx, ny, nz, lpx, lpy, lpz) = (
         _gather_refine(
-            fhi_ref, fmid_ref, flo_ref, obj_best, ox, oy, oz, dx, dy, dz,
+            ftab_ref, obj_best, ox, oy, oz, dx, dy, dz,
             omt, t_best, hit, n_pad=n_pad, has_motion=has_motion, mode=mode))
 
     # Emissive abort ("paint it white", lights glsl:662-666): the sample
@@ -460,7 +460,7 @@ def _shade_hits(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
 
     if n_lights > 0:
         lit = _shadow_factor_k(
-            otab_ref, gaabb_ref, fhi_ref, lights_ref, px, py, pz,
+            otab_ref, gaabb_ref, ftab_ref, lights_ref, px, py, pz,
             nx, ny, nz, omt, sidx, did_hit, n_pad=n_pad,
             n_groups=n_groups, gr=gr, has_motion=has_motion,
             use_mxu=use_mxu, mode=mode, spp=spp, n_lights=n_lights,
@@ -601,7 +601,7 @@ def _mega_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
                  has_dielectrics: bool, spp: int, max_bounces: int,
                  t_max: float, bg_bottom, bg_top, use_mxu: bool,
                  n_pgroups: int = 0):
-    def kernel(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref, pool_ref,
+    def kernel(otab_ref, ftab_ref, gaabb_ref, pool_ref,
                lane_ref, misc_out, refr_out, refl_out, rlane_out, llane_out,
                t_sc, obj_sc):
         rows16 = pool_ref[:]
@@ -612,7 +612,7 @@ def _mega_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
         (add_r, add_g, add_b, hit_t, refr16, refl16, spawn_refr, spawn_refl,
          _white) = (
             trace_shade_block(
-                otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
+                otab_ref, ftab_ref, gaabb_ref,
                 rows16[0:1], rows16[1:2], rows16[2:3],
                 rows16[3:4], rows16[4:5], rows16[5:6],
                 rows16[6:7], rows16[7:8], rows16[8:9], rows16[9:10],
@@ -649,6 +649,7 @@ def mega_step(otab, ftab3, gaabb, pool, lane, gr: int, has_motion: bool,
 
     fhi, fmid, flo = ftab3
     n_pad = fhi.shape[1]  # MAIN rows (ftab width = winner-id space)
+    ftabS = jnp.concatenate([fhi, fmid, flo], axis=0)  # stacked gather
     n_groups = n_pad // gr
     n_pgroups = (otab.shape[0] - n_pad) // PROBE_GR  # trailing probe groups
     C = pool.shape[1]
@@ -663,7 +664,7 @@ def mega_step(otab, ftab3, gaabb, pool, lane, gr: int, has_motion: bool,
                      max_bounces, t_max, bg[0], bg[1], use_mxu,
                      n_pgroups=n_pgroups),
         grid=grid,
-        in_specs=[full(otab), full(fhi), full(fmid), full(flo),
+        in_specs=[full(otab), full(ftabS),
                   full(gaabb), lane_spec(POOL_ROWS), lane_spec(1)],
         out_specs=(lane_spec(8), lane_spec(POOL_ROWS), lane_spec(POOL_ROWS),
                    lane_spec(1), lane_spec(1)),
@@ -679,5 +680,5 @@ def mega_step(otab, ftab3, gaabb, pool, lane, gr: int, has_motion: bool,
             pltpu.VMEM((1, block), jnp.int32),
         ],
         interpret=_interpret(),
-    )(otab, fhi, fmid, flo, gaabb, pool, lane2)
+    )(otab, ftabS, gaabb, pool, lane2)
     return misc, refr, refl, rlane[0], llane[0]

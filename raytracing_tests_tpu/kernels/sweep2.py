@@ -360,25 +360,30 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
         obj_sc[:] = jnp.where(rid_v == IDM, -1, rid_v)
 
 
-def _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best, n_pad, L):
-    """One-hot winner gather on the MXU: (F, N) @ (N, L) -> (FT_ROWS, L).
+def _gather_rows(ftab_ref, obj_best, n_pad, L):
+    """One-hot winner gather on the MXU: ONE (3F, N) @ (N, L) pass.
 
-    Three DEFAULT-precision bf16 passes against the host-precomputed
-    hi/mid/lo splits (see ``pack_ftab_splits``) — exact to full f32
-    mantissa because the one-hot operand is exactly bf16-representable
-    (each output element is a single product plus exact zeros)."""
+    ``ftab_ref`` is the hi/mid/lo bf16 splits (``pack_ftab_splits``)
+    STACKED on the sublane axis.  At F ~ 24-32 field rows 3F <= 128 still
+    fits one MXU pass of rows, so the stacked gather costs about the same
+    wall time as a single split while reconstructing full f32 mantissa
+    (round 3: three separate M=24 matmuls measured ~2.6 us each in situ
+    vs ~0.9 isolated — M-underutilization and per-invocation operand
+    staging dominate at small M; stacking reclaims both).  Exact: each
+    output element is a single product plus exact zeros per split, and
+    the segments sum in the same (hi + mid) + lo order as before."""
     import os as _os
     _abl = frozenset(_os.environ.get("UBER_ABLATE", "").split(","))
+    F = ftab_ref.shape[0] // 3
     rid_full = jax.lax.broadcasted_iota(jnp.int32, (n_pad, L), 0)
     oh = (rid_full == obj_best).astype(jnp.bfloat16)
     dn = (((1,), (0,)), ((), ()))
-    refs = (fhi_ref,) if "gather1" in _abl else (fhi_ref, fmid_ref, flo_ref)
-    out = None
-    for ref in refs:
-        g = jax.lax.dot_general(
-            ref[:], oh, dn, preferred_element_type=jnp.float32)
-        out = g if out is None else out + g
-    return out
+    if "gather1" in _abl:  # ablation: hi split only (8-bit texel mantissa)
+        return jax.lax.dot_general(ftab_ref[0:F], oh, dn,
+                                   preferred_element_type=jnp.float32)
+    g3 = jax.lax.dot_general(ftab_ref[:], oh, dn,
+                             preferred_element_type=jnp.float32)
+    return (g3[0:F] + g3[F : 2 * F]) + g3[2 * F : 3 * F]
 
 
 def _winner_refine(rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion):
@@ -499,7 +504,7 @@ def _sweep2_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
     ``with_edge`` adds the near-miss silhouette candidate
     argmin_i (perp_dist_i / r_i)^2 for the soft-edge gradient estimator."""
 
-    def kernel(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref, rays_ref,
+    def kernel(otab_ref, ftab_ref, gaabb_ref, rays_ref,
                t_out, obj_out, *maybe_out):
         rays = rays_ref[:]
         ox, oy, oz = rays[0:1], rays[1:2], rays[2:3]
@@ -528,8 +533,7 @@ def _sweep2_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
                 return
 
             hit_out = maybe_out[1] if with_edge else maybe_out[0]
-            rows = _gather_rows(fhi_ref, fmid_ref, flo_ref, obj_best,
-                                n_pad, L)
+            rows = _gather_rows(ftab_ref, obj_best, n_pad, L)
             t_best, t_safe, px, py, pz, nx, ny, nz = _winner_refine(
                 rows, ox, oy, oz, dx, dy, dz, omt, t_best, hit, has_motion)
             t_out[:] = jnp.where(hit, t_best, BIG_T)  # refined overwrite
@@ -768,6 +772,7 @@ def _sweep2(otab, ftab3, gaabb, rays, B: int, gr: int, has_motion: bool,
             with_edge: bool = False):
     fhi, fmid, flo = ftab3
     n_pad = fhi.shape[1]  # MAIN rows (ftab width = winner-id space)
+    ftabS = jnp.concatenate([fhi, fmid, flo], axis=0)  # stacked gather
     n_groups = n_pad // gr
     n_pgroups = (otab.shape[0] - n_pad) // PROBE_GR  # trailing probe groups
     Bp = rays.shape[1]
@@ -791,12 +796,11 @@ def _sweep2(otab, ftab3, gaabb, rays, B: int, gr: int, has_motion: bool,
         _sweep2_kernel(n_pad, n_groups, gr, has_motion, with_ri, with_fields,
                        use_mxu, with_edge, n_pgroups=n_pgroups),
         grid=grid,
-        in_specs=[full(otab), full(fhi), full(fmid), full(flo),
-                  full(gaabb), lane_spec(8)],
+        in_specs=[full(otab), full(ftabS), full(gaabb), lane_spec(8)],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=_interpret(),
-    )(otab, fhi, fmid, flo, gaabb, rays)
+    )(otab, ftabS, gaabb, rays)
 
 
 def sweep2_nearest(accel: Accel2, o, d, time_ratio, t_limit,

@@ -91,7 +91,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
     OUT_ROWS = 4 * NPIX if order == "pixel" else 4 * R
     mid_s = spp // 2  # finalize keeps the mid sample's depth
 
-    def kernel(otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref, cam_ref,
+    def kernel(otab_ref, ftab_ref, gaabb_ref, cam_ref,
                lights_ref, *rest):
         if tex_meta is not None:
             thi_ref, tmid_ref, tlo_ref = rest[:3]
@@ -309,7 +309,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                         _gather_refine, _shade_materials_k)
 
                     rows, refined = _gather_refine(
-                        fhi_ref, fmid_ref, flo_ref, obj_sc[:], cur[0:1],
+                        ftab_ref, obj_sc[:], cur[0:1],
                         cur[1:2], cur[2:3], dx, dy, dz, cur[6:7], t_sc[:],
                         hit, n_pad=n_pad, has_motion=has_motion, mode=mode)
                     (r_, g_, b_, t_, refr_, refl_, sr_, sl_,
@@ -321,7 +321,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                 else:
                     (r_, g_, b_, t_, refr_, refl_, sr_, sl_,
                      wh_) = _shade_hits(
-                        otab_ref, fhi_ref, fmid_ref, flo_ref, gaabb_ref,
+                        otab_ref, ftab_ref, gaabb_ref,
                         cur[0:1], cur[1:2], cur[2:3], dx, dy, dz, cur[6:7],
                         contrib, cur[9:10], act, sidx, t_sc[:], obj_sc[:],
                         hit, bgr, bgg, bgb, n_pad=n_pad, n_groups=n_groups,
@@ -544,8 +544,9 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
                                   memory_space=pltpu.VMEM)
     smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.SMEM)
-    inputs = [otab, fhi, fmid, flo, gaabb]
-    in_specs = [full(otab), full(fhi), full(fmid), full(flo), full(gaabb),
+    ftabS = jnp.concatenate([fhi, fmid, flo], axis=0)  # stacked gather
+    inputs = [otab, ftabS, gaabb]
+    in_specs = [full(otab), full(ftabS), full(gaabb),
                 smem(cam), smem(lts)]
     inputs = inputs + [cam, lts]
     if tex_meta is not None:
