@@ -55,7 +55,12 @@ DEAD_OD = 1.0e19  # o.d sentinel for zero-direction lanes: kills both roots
 LANE = 128
 DEFAULT_L = 2048  # ray lanes per grid block (measured best on v5e)
 DEFAULT_GR = 128  # objects per culling group (sublane rows)
-PROBE_GR = 8  # rows per surrounding-RI probe group (see _probe_tables)
+# Rows per surrounding-RI probe group (see _probe_tables).  Same-window
+# A/Bs (round 3): 4 groups of 8 = 6.1 us/iter on the headline, one 32-row
+# group = 8.3, the round-2 64-row branched body = ~5.4 — the probe's ~6 us
+# floor moves little with structure; 8-row Morton groups keep the tightest
+# anchors, so they stay.
+PROBE_GR = 8
 
 # Object-table (Np, 128) column indices ("otab"): per-object sweep constants.
 # The two K=3 triples (center, delta-position) sit at 8-ALIGNED offsets with
@@ -453,8 +458,11 @@ def _ri_probe(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
     if use_mxu:
         z5 = jnp.zeros((5, L), jnp.float32)
 
-    acc = jnp.zeros((1, L), jnp.float32)
-    cnt = jnp.zeros((1, L), jnp.float32)
+    # Accumulate across groups in (gr, L) PLANES (every probe group is
+    # PROBE_GR rows), reducing to (1, L) exactly ONCE at the end — the
+    # per-group sum trees were half the probe's cost.
+    acc8 = jnp.zeros((gr, L), jnp.float32)
+    cnt8 = jnp.zeros((gr, L), jnp.float32)
     for g in range(g0, g0 + n_groups):
         r0 = row0 + (g - g0) * gr
         sl = slice(r0, r0 + gr)
@@ -489,10 +497,10 @@ def _ri_probe(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
                        + otab_ref[sl, OT_DPZ : OT_DPZ + 1] * uz)
             lhs = lhs + omt * (2.0 * QDP - k2) + (omt * omt) * k3
         inside = lhs <= 0.0
-        acc = acc + jnp.sum(
-            jnp.where(inside, ri_col, 0.0), axis=0, keepdims=True)
-        cnt = cnt + jnp.sum(
-            inside.astype(jnp.float32), axis=0, keepdims=True)
+        acc8 = acc8 + jnp.where(inside, ri_col, 0.0)
+        cnt8 = cnt8 + jnp.where(inside, 1.0, 0.0)
+    acc = jnp.sum(acc8, axis=0, keepdims=True)
+    cnt = jnp.sum(cnt8, axis=0, keepdims=True)
     return jnp.where(acc > 1.0, acc / jnp.maximum(cnt, 1.0), 1.0)
 
 
@@ -548,7 +556,7 @@ def _sweep2_kernel(n_pad: int, n_groups: int, gr: int, has_motion: bool,
                     otab_ref, gaabb_ref, px + 1e-3 * nx, py + 1e-3 * ny,
                     pz + 1e-3 * nz, omt,
                     n_groups=n_pgroups, gr=PROBE_GR,
-                    has_motion=has_motion, use_mxu=use_mxu, need=need,
+                    has_motion=has_motion, use_mxu=True, need=need,
                     g0=n_groups, row0=n_pad)
             else:
                 sur_ri = jnp.ones((1, L), jnp.float32)

@@ -199,6 +199,14 @@ def make_accel2g(scene: Scene, gr: int = 64, has_motion: bool = True,
     huge = (size > 0.5) & valid
     codes = jnp.where(valid, codes >> jnp.uint32(2), jnp.uint32(0x3FFFFFFF))
     key = jnp.where(huge, jnp.uint32(0), codes + jnp.uint32(1))
+    # TYPE-PACKED grouping: sort by (huge, primitive type, morton) so the
+    # per-group type census sees PURE groups — each group body then tests
+    # ONE primitive instead of both (the mixed body is ~1.7x a pure one).
+    # Costs a little AABB tightness (same-type Morton neighbours straddle
+    # the other type's cells on alternating scenes); wins on body cost.
+    cub = (scene.obj_type != geometry.ELLIPSOID) & valid & ~huge
+    key = key + jnp.where(cub, jnp.uint32(0x40000000), jnp.uint32(0))
+    key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key).astype(jnp.int32)
 
     n = scene.capacity
@@ -678,8 +686,9 @@ def _ri_probe_g(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
     del need  # containment is exact; no skip is profitable (see docstring)
     L = qx.shape[1]
 
-    acc = jnp.zeros((1, L), jnp.float32)
-    cnt = jnp.zeros((1, L), jnp.float32)
+    # (gr, L)-plane accumulators, ONE final reduction (see sweep2._ri_probe).
+    acc8 = jnp.zeros((gr, L), jnp.float32)
+    cnt8 = jnp.zeros((gr, L), jnp.float32)
     for g in range(g0, g0 + n_groups):
         r0 = row0 + (g - g0) * gr
         sl = slice(r0, r0 + gr)
@@ -694,10 +703,10 @@ def _ri_probe_g(otab_ref, gaabb_ref, qx, qy, qz, omt, *, n_groups, gr,
                             (typ == float(geometry.CUBOID)) & in_c)
                   & (otab_ref[sl, GO_VALID : GO_VALID + 1] > 0.0))
         ri_col = otab_ref[sl, GO_RI : GO_RI + 1]
-        acc = acc + jnp.sum(
-            jnp.where(inside, ri_col, 0.0), axis=0, keepdims=True)
-        cnt = cnt + jnp.sum(
-            inside.astype(jnp.float32), axis=0, keepdims=True)
+        acc8 = acc8 + jnp.where(inside, ri_col, 0.0)
+        cnt8 = cnt8 + jnp.where(inside, 1.0, 0.0)
+    acc = jnp.sum(acc8, axis=0, keepdims=True)
+    cnt = jnp.sum(cnt8, axis=0, keepdims=True)
     return jnp.where(acc > 1.0, acc / jnp.maximum(cnt, 1.0), 1.0)
 
 

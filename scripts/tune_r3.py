@@ -49,14 +49,11 @@ def main():
     # NOTE: the output tile is (4R, L) f32 — R=192 at L=2048 blows the 16M
     # scoped-VMEM limit (measured: 672K over).
     variants = [
-        (2048, 96, 32, 3),
-        (2048, 96, 16, 3),
-        (2048, 48, 64, 3),
-        (1024, 96, 64, 3),
-        (2048, 96, 128, 3),
-        (2048, 96, 64, 2),
-        (2048, 96, 32, 2),
-        (4096, 48, 32, 3),
+        (2048, 128, 64, 3),
+        (4096, 48, 64, 3),
+        (4096, 64, 64, 3),
+        (1024, 192, 64, 3),
+        (2048, 96, 64, 3),
     ]
     for L, R, gr, q in variants:
         run(f"L{L} R{R} gr{gr} q{q}",
