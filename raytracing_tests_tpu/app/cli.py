@@ -127,7 +127,9 @@ def _cmd_train(args):
 
         mesh = make_mesh(args.mesh)
     step = make_train_step(
-        perturbed, camera, cfg, opt, mesh=mesh, trainable=params_mask(perturbed, *fields)
+        perturbed, camera, cfg, opt, mesh=mesh,
+        grad_bands=args.grad_bands,
+        trainable=params_mask(perturbed, *fields)
     )
     st = TrainState.create(perturbed, opt)
     start = 0
@@ -225,6 +227,10 @@ def main(argv=None):
     pt.add_argument("--pallas", action="store_true",
                     help="fast gradient path (Pallas winner-finding + "
                     "closed-form recompute)")
+    pt.add_argument(
+        "--grad-bands", type=int, default=1,
+        help="accumulate gradients over N image row bands (exact; 1/N the "
+             "backward's peak memory — for full-resolution frames)")
     pt.add_argument(
         "--soft-edges", type=float, default=0.0,
         help="edge-aware gradient band (~0.03 recommended when training "

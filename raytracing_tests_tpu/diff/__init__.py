@@ -15,6 +15,7 @@ from raytracing_tests_tpu.diff.params import (  # noqa: F401
 )
 from raytracing_tests_tpu.diff.train import (  # noqa: F401
     TrainState,
+    banded_value_and_grad,
     make_train_step,
     render_loss,
 )

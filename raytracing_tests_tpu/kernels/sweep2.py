@@ -380,14 +380,26 @@ def _gather_rows(ftab_ref, obj_best, n_pad, L):
     import os as _os
     _abl = frozenset(_os.environ.get("UBER_ABLATE", "").split(","))
     F = ftab_ref.shape[0] // 3
-    rid_full = jax.lax.broadcasted_iota(jnp.int32, (n_pad, L), 0)
-    oh = (rid_full == obj_best).astype(jnp.bfloat16)
     dn = (((1,), (0,)), ((), ()))
-    if "gather1" in _abl:  # ablation: hi split only (8-bit texel mantissa)
-        return jax.lax.dot_general(ftab_ref[0:F], oh, dn,
-                                   preferred_element_type=jnp.float32)
-    g3 = jax.lax.dot_general(ftab_ref[:], oh, dn,
-                             preferred_element_type=jnp.float32)
+    # The (n_pad, L) one-hot operand materializes in VMEM (bf16: 4.3 MB per
+    # 1k rows at L = 2048) — chunk the contraction axis for big tables so
+    # 10k-object scenes fit the scoped-VMEM budget.  Exact either way: each
+    # chunk contributes a single product or exact zeros.
+    CHUNK = 1024
+    g3 = None
+    for r0 in range(0, n_pad, CHUNK):
+        rows = min(CHUNK, n_pad - r0)
+        rid = r0 + jax.lax.broadcasted_iota(jnp.int32, (rows, L), 0)
+        oh = (rid == obj_best).astype(jnp.bfloat16)
+        if "gather1" in _abl:  # ablation: hi split only (8-bit mantissa)
+            p = jax.lax.dot_general(ftab_ref[0:F, r0 : r0 + rows], oh, dn,
+                                    preferred_element_type=jnp.float32)
+        else:
+            p = jax.lax.dot_general(ftab_ref[:, r0 : r0 + rows], oh, dn,
+                                    preferred_element_type=jnp.float32)
+        g3 = p if g3 is None else g3 + p
+    if "gather1" in _abl:
+        return g3
     return (g3[0:F] + g3[F : 2 * F]) + g3[2 * F : 3 * F]
 
 

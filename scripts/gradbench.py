@@ -47,16 +47,30 @@ def main():
     pert = scene.replace(color=scene.color * 0.8 + 0.1)
     p = extract_params(pert)
 
-    fwd = jax.jit(lambda p: render_loss(p, pert, cam, cfg, target))
-    t_f = timeit("forward loss (fastpath winners + closed-form)", lambda: fwd(p))
-    gr = jax.jit(jax.grad(render_loss))
-    t_g = timeit("grad step (forward + backward)",
-                 lambda: gr(p, pert, cam, cfg, target))
-    print(f"backward share: {(t_g - t_f):.3f} s "
-          f"({(t_g - t_f) / t_g * 100:.0f}% of the grad step)", flush=True)
+    bands = int(os.environ.get("GRAD_BANDS", "0")) or (
+        1 if W * H * SPP <= 200_000 else (5 if H % 5 == 0 else 9))
+    print("grad_bands:", bands, flush=True)
+    from raytracing_tests_tpu.diff import banded_value_and_grad
+
+    t_f = None
+    if W * H * SPP <= 2_000_000:  # full-frame diff forward OOMs above this
+        fwd = jax.jit(lambda p: render_loss(p, pert, cam, cfg, target))
+        t_f = timeit("forward loss (fastpath winners + closed-form)",
+                     lambda: fwd(p))
+    if bands > 1:
+        gr = jax.jit(banded_value_and_grad(pert, cam, cfg, grad_bands=bands))
+        tj = jax.numpy.asarray(target)
+        t_g = timeit("grad step (forward + backward, banded)",
+                     lambda: gr(p, tj))
+    else:
+        gr = jax.jit(jax.grad(lambda p: render_loss(p, pert, cam, cfg, target)))
+        t_g = timeit("grad step (forward + backward)", lambda: gr(p))
+    if t_f is not None:
+        print(f"backward share: {(t_g - t_f):.3f} s "
+              f"({(t_g - t_f) / t_g * 100:.0f}% of the grad step)", flush=True)
 
     opt = optax.adam(1e-2)
-    step = make_train_step(pert, cam, cfg, opt)
+    step = make_train_step(pert, cam, cfg, opt, grad_bands=bands)
     st = TrainState.create(pert, opt)
 
     def one(st=st):

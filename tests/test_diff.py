@@ -43,6 +43,28 @@ def test_all_gradients_finite(setup):
         assert bool(jnp.all(jnp.isfinite(v))), f"non-finite grads in {f.name}"
 
 
+def test_banded_grads_match_full(setup):
+    """Row-band gradient accumulation (banded_value_and_grad) == the
+    full-frame value_and_grad — the loss is a pixel mean, so band SSE sums
+    reconstruct it exactly (memory shape of BASELINE-scale training)."""
+    from raytracing_tests_tpu.diff import banded_value_and_grad
+
+    scene, cam, cfg, target = setup
+    cfg = dataclasses.replace(cfg, intersector="pallas").for_scene(scene)
+    pert = scene.replace(color=scene.color * 0.6 + 0.2)
+    p = extract_params(pert)
+    loss_f, g_f = jax.value_and_grad(render_loss)(p, pert, cam, cfg, target)
+    vg = jax.jit(banded_value_and_grad(pert, cam, cfg, grad_bands=4))
+    loss_b, g_b = vg(p, jnp.asarray(target))
+    np.testing.assert_allclose(float(loss_b), float(loss_f), rtol=1e-6)
+    for f in dataclasses.fields(g_f):
+        a, b = getattr(g_f, f.name), getattr(g_b, f.name)
+        if a is None:
+            continue
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=1e-7, err_msg=f.name)
+
+
 @pytest.mark.parametrize(
     "field,index",
     [
