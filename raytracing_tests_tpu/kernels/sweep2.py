@@ -39,6 +39,7 @@ contraction spans the FULL table axis (no K slice at all).
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Optional
 
 import jax
@@ -57,10 +58,10 @@ DEFAULT_L = 2048  # ray lanes per grid block (measured best on v5e)
 DEFAULT_GR = 128  # objects per culling group (sublane rows)
 # Rows per surrounding-RI probe group (see _probe_tables).  Same-window
 # A/Bs (round 3): 4 groups of 8 = 6.1 us/iter on the headline, one 32-row
-# group = 8.3, the round-2 64-row branched body = ~5.4 — the probe's ~6 us
-# floor moves little with structure; 8-row Morton groups keep the tightest
-# anchors, so they stay.
-PROBE_GR = 8
+# group = 8.3 on the VPU path, the round-2 64-row branched body = ~5.4;
+# with the MXU containment dot (one (gr, 8) @ (8, L) per group) the
+# per-group matmul count is what matters — env-overridable for tuning.
+PROBE_GR = int(_os.environ.get("PROBE_GR", "8"))
 
 # Object-table (Np, 128) column indices ("otab"): per-object sweep constants.
 # The two K=3 triples (center, delta-position) sit at 8-ALIGNED offsets with

@@ -47,8 +47,12 @@ def main():
     pert = scene.replace(color=scene.color * 0.8 + 0.1)
     p = extract_params(pert)
 
-    bands = int(os.environ.get("GRAD_BANDS", "0")) or (
-        1 if W * H * SPP <= 200_000 else (5 if H % 5 == 0 else 9))
+    # Per-band sample budget ~300k: the bounce-scan CARRY (per-lane queue)
+    # is saved per pop step for the backward — it, not the band image,
+    # bounds memory.  Pick the smallest divisor of H that gets there.
+    want = max(1, -(-W * H * SPP // 300_000))
+    bands = int(os.environ.get("GRAD_BANDS", "0")) or min(
+        (b for b in range(want, H + 1) if H % b == 0), default=H)
     print("grad_bands:", bands, flush=True)
     from raytracing_tests_tpu.diff import banded_value_and_grad
 
