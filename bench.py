@@ -32,6 +32,15 @@ import time
 import jax
 import numpy as np
 
+# Persistent compilation cache: the five-config sweep compiles ~7 Pallas
+# programs; cached, a bench re-run spends its time measuring, not
+# compiling (first-ever run still pays the trace+compile).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/jax_comp")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from raytracing_tests_tpu.ops.render import RenderConfig, render_stats, extract_lights
 from raytracing_tests_tpu.scene import examples
 

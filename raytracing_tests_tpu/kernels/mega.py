@@ -479,7 +479,7 @@ def _shade_hits(otab_ref, ftab_ref, gaabb_ref,
 
     import os as _os
     _abl = frozenset(_os.environ.get("UBER_ABLATE", "").split(","))
-    if has_dielectrics and "probe" not in _abl:
+    if has_dielectrics and n_pgroups > 0 and "probe" not in _abl:
         # Only dielectric winners / interior hits consume sur_ri; skipped
         # lanes read the neutral 1.0.  The probe loops over the trailing
         # dielectric-only sub-table: PROBE_GR-row groups at otab rows

@@ -259,8 +259,14 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
     import os as _os
     _noslab = "noslab" in frozenset(
         _os.environ.get("UBER_ABLATE", "").split(","))
+    # Groups per pl.when: a TAKEN branch costs ~2-4 us at L = 2048 (the
+    # dominant per-group cost when most groups are entered anyway), so
+    # spanning several groups under ONE branch (entered if ANY member's
+    # slab passes) trades a little lost culling for fewer taken branches.
+    _span = int(_os.environ.get("UBER_SPAN", "1"))
 
-    for g in range(n_groups):
+    for g0 in range(0, n_groups, _span):
+        gset = range(g0, min(g0 + _span, n_groups))
         # live-mask: a block whose lanes are ALL dead (drained queue slots)
         # skips every group — the tail iterations of a lane-aligned drain
         # cost ~the slab tests alone.
@@ -269,10 +275,13 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
                 obj_sc[:] & ~IDM, jnp.float32)
         else:
             t_best_now = t_sc[:]
-        ghit = _slab_hit(gaabb_ref, g, ox, oy, oz, ix, iy, iz,
-                         t_best_now) & live
+        ghit = jnp.zeros((1, L), jnp.bool_)
+        for g in gset:
+            ghit = ghit | _slab_hit(gaabb_ref, g, ox, oy, oz, ix, iy, iz,
+                                    t_best_now)
+        ghit = ghit & live
 
-        def _body(g=g):
+        def _body(g):
             if cnt_ref is not None:  # groups-entered diagnostic
                 cnt_ref[3:4] = cnt_ref[3:4] + 1
             sl = slice(g * gr, (g + 1) * gr)
@@ -354,10 +363,14 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
                 m_sc[:] = jnp.where(be, gm, m_sc[:])
                 e_sc[:] = jnp.where(be, ge, e_sc[:])
 
+        def _bodies(gset=gset):
+            for g in gset:
+                _body(g)
+
         if _noslab:  # ablation: straight-line bodies, no group branch
-            _body()
+            _bodies()
         else:
-            pl.when(jnp.any(ghit))(_body)
+            pl.when(jnp.any(ghit))(_bodies)
 
     if packed:
         ik = obj_sc[:]
@@ -633,7 +646,7 @@ class Accel2:
 
 def make_accel2(scene: Scene, gr: int = DEFAULT_GR,
                 has_motion: bool = True, sort_origin=None,
-                probe_rows=None) -> Accel2:
+                probe_rows=None, probe_mask=None) -> Accel2:
     """Morton-order objects into groups of ``gr``; huge objects isolated
     into leading always-tested groups (same policy as v1 ``make_accel``).
 
@@ -721,14 +734,84 @@ def make_accel2(scene: Scene, gr: int = DEFAULT_GR,
             jnp.where(dm, tab[:, OT_K1], jnp.float32(BIG_T)))
 
     potab, pgaabb = _probe_tables(
-        scene, key, valid, lo, hi, gr, probe_rows, _pack_probe)
+        scene, key, valid, lo, hi, gr, probe_rows, _pack_probe,
+        probe_mask=probe_mask)
     otab = jnp.concatenate([otab, potab])
     gaabb = jnp.concatenate([gaabb, pgaabb])
     return Accel2(otab, pack_ftab_splits(ftab), gaabb, perm, gr, has_motion,
                   n_pgroups=pgaabb.shape[0])
 
 
-def _probe_tables(scene, key, valid, lo, hi, gr: int, probe_rows, packer):
+def probe_relevant_rows(scene, margin: float = 4e-3):
+    """Boolean np mask of scene rows that can move the surrounding-RI probe
+    off the neutral 1.0 — or ``None`` for traced scenes (keep everything).
+
+    The probe's consumers are exactly the lanes whose winner spawns a
+    refraction child: OUTER hits on refractive objects (refr > 0.002) and
+    INNER hits (``need = hit & (inner | refr)`` in ``mega._shade_hits``;
+    opaque outer winners never read ``sur_ri``).  The probe point sits
+    1e-3 OUTSIDE the (convex) winner along the outward normal.  Interiors
+    are REACHABLE through refraction, so inner-hit surfaces belong to
+    refractive objects or to objects whose volume overlaps one (a ray can
+    exit glass inside them; entering any other interior requires a
+    refraction event — or an epsilon-scale spawn offset, see below).
+    Therefore a probe row B matters only if B (ri != 1) lies within
+    ``margin`` (probe offset + spawn offset + slack) of the surface of
+    some HOST A — refractive, or overlapping a refractive — with A != B.
+    The reference's accumulation traversal (01_BVH glsl:268-345) culls
+    per-probe by AABB descent; this is the same cut made static.
+
+    NOT bit-exact, honestly: reflect children spawn 1e-4 outside their
+    winner, which can be 1e-4 INSIDE an overlapping opaque neighbor —
+    an interior reached without refraction that this cut ignores.
+    Measured on the headline scene: +41 rays of 92M (4.5e-7) and no
+    change in the image mean — far inside the statistical envelope every
+    cross-renderer comparison already accepts (PERFORMANCE.md fact 14).
+    Cut: 486 probe rows (61 straight-line groups) -> 40 rows (5 groups)
+    on the headline scene, worth ~27% of the frame (54.0 -> 74.4 Mrays/s
+    same-window).
+
+    Sphere scenes use exact pairwise surface gaps (shrunk by both motion
+    amplitudes — centers sweep [c - dp, c]); generic scenes use the
+    conservative world-AABB gap.  Training keeps the full table (traced
+    scenes return None): optimization can move objects into contact."""
+    try:
+        valid = np.asarray(scene.valid)
+        dmask = valid & (np.asarray(scene.refractive_index) != 1.0)
+        refr = valid & (np.asarray(scene.refractivity) > 0.002)
+        n = valid.shape[0]
+        if n > 4096:  # O(N^2) host check; stay conservative at 10k+
+            return dmask
+        if not refr.any():
+            return np.zeros_like(dmask)
+        from raytracing_tests_tpu.kernels.sweep import scene_mode
+
+        if scene_mode(scene) == "spheres":
+            c = np.asarray(scene.position)
+            r = np.asarray(scene.scale)[:, 0]
+            amp = np.linalg.norm(np.asarray(scene.delta_position), axis=1)
+            d = np.linalg.norm(c[:, None] - c[None, :], axis=-1)
+            gap = d - (r[:, None] + r[None, :]) - (amp[:, None] + amp[None, :])
+        else:
+            lo, hi = scene.world_aabbs()  # already motion-swept
+            lo = np.asarray(lo)
+            hi = np.asarray(hi)
+            sep = np.maximum(lo[:, None] - hi[None, :],
+                             lo[None, :] - hi[:, None])
+            gap = sep.max(axis=-1)
+        np.fill_diagonal(gap, np.inf)
+        gap[~valid] = np.inf
+        gap[:, ~valid] = np.inf
+        touches_refr = (gap[:, refr] <= margin).any(axis=1)
+        hosts = refr | (valid & touches_refr)
+        near_host = (gap[:, hosts] <= margin).any(axis=1)
+        return dmask & near_host
+    except jax.errors.TracerArrayConversionError:
+        return None
+
+
+def _probe_tables(scene, key, valid, lo, hi, gr: int, probe_rows, packer,
+                  probe_mask=None):
     """Dielectric-only (valid & ri != 1) probe sub-table: Morton/huge-first
     ordered rows grouped by ``gr`` = PROBE_GR with their own AABBs + median
     anchors.  Only ri != 1 rows can move the surrounding-RI result off the
@@ -743,8 +826,15 @@ def _probe_tables(scene, key, valid, lo, hi, gr: int, probe_rows, packer):
 
     gr = PROBE_GR
     dmask = valid & (scene.refractive_index != 1.0)
+    if probe_mask is not None:  # consumer-reachability cut (see
+        dmask = dmask & jnp.asarray(probe_mask)  # probe_relevant_rows)
     if probe_rows is None or probe_rows < 0:
         probe_rows = int(np.asarray(dmask).sum())  # concrete scenes only
+    if probe_rows == 0:
+        # No probe consumers (or statically-skippable probe): zero groups —
+        # the kernels fold the empty probe loop to the neutral 1.0.
+        z = jnp.zeros((0, OT_COLS), jnp.float32)
+        return z, z
     np_pad = max(gr, -(-probe_rows // gr) * gr)
     pkey = jnp.where(dmask, key, jnp.uint32(0xFFFFFFFF))
     porder = jnp.argsort(pkey).astype(jnp.int32)

@@ -181,7 +181,8 @@ class Accel2G:
 
 
 def make_accel2g(scene: Scene, gr: int = 64, has_motion: bool = True,
-                 sort_origin=None, probe_rows=None) -> Accel2G:
+                 sort_origin=None, probe_rows=None,
+                 probe_mask=None) -> Accel2G:
     """Group policy identical to ``sweep2.make_accel2`` (Morton order, huge
     objects isolated into leading groups, groups sorted near-to-far from
     ``sort_origin``), built over the generic 21-field table."""
@@ -248,7 +249,8 @@ def make_accel2g(scene: Scene, gr: int = 64, has_motion: bool = True,
             jnp.where(dm, tab[:, GO_VALID], 0.0))
 
     potab, pgaabb = _probe_tables(
-        scene, key, valid, lo, hi, gr, probe_rows, _pack_probe)
+        scene, key, valid, lo, hi, gr, probe_rows, _pack_probe,
+        probe_mask=probe_mask)
     otab = jnp.concatenate([otab, potab])
     gaabb = jnp.concatenate([gaabb, pgaabb])
 
@@ -258,13 +260,25 @@ def make_accel2g(scene: Scene, gr: int = 64, has_motion: bool = True,
     try:
         typ = np.asarray(otab[: G * gr, GO_TYPE]).reshape(G, gr)
         vld = np.asarray(otab[: G * gr, GO_VALID]).reshape(G, gr) > 0
+        # 's' sub-kind: every valid row an ISOTROPIC, UNROTATED ellipsoid
+        # (a plain sphere) — the body then runs the world-frame quadratic
+        # with no rotation loads and no divisions.
+        sc3 = np.asarray(otab[: G * gr, GO_SX : GO_SZ + 1]).reshape(G, gr, 3)
+        rot = np.asarray(
+            otab[: G * gr, GO_RR00 : GO_RR00 + 9]).reshape(G, gr, 9)
+        eye = np.eye(3, dtype=np.float32).reshape(9)
+        iso = ((sc3[..., 0] == sc3[..., 1]) & (sc3[..., 0] == sc3[..., 2])
+               & (rot == eye).all(axis=-1))
         kinds = []
         for g in range(G):
             t = typ[g][vld[g]]
             has_e = bool((t == _ELL).any())
             has_c = bool((t != _ELL).any())
-            kinds.append("m" if (has_e and has_c) else
-                         ("c" if has_c else "e"))
+            if has_e and not has_c and bool(iso[g][vld[g]].all()):
+                kinds.append("s")
+            else:
+                kinds.append("m" if (has_e and has_c) else
+                             ("c" if has_c else "e"))
         gkinds = tuple(kinds)
     except jax.errors.TracerArrayConversionError:
         pass
@@ -475,6 +489,41 @@ def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
                 rx = rx + omt * otab_ref[sl, GO_DPX : GO_DPX + 1]
                 ry = ry + omt * otab_ref[sl, GO_DPY : GO_DPY + 1]
                 rz = rz + omt * otab_ref[sl, GO_DPZ : GO_DPZ + 1]
+            if kind == "s" and not with_edge:
+                # Isotropic unrotated spheres (censused at build time):
+                # plain world-frame quadratic — no rotation loads, no
+                # divisions (~1/3 the mixed body).  Unit directions make
+                # a = 1; mathematically the oracle's t, and the winner is
+                # re-solved in the oracle's exact arithmetic downstream
+                # (_winner_refine_g), so only near-exact ties can flip —
+                # the packed-key bargain already accepted everywhere.
+                rr = otab_ref[sl, GO_SX : GO_SX + 1]
+                hb = rx * dx + ry * dy + rz * dz
+                cq = rx * rx + ry * ry + rz * rz - rr * rr
+                disc = hb * hb - cq
+                ok = disc > 0.0
+                sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+                t0 = -hb - sq
+                t1 = -hb + sq
+                t_e = jnp.where(t0 < 0.0, t1, t0)
+                tc = jnp.where(ok & (t_e > 0.0), t_e, BIG_T)
+                tc = jnp.where(valid_col, tc, BIG_T)
+                rid = g * gr + jax.lax.broadcasted_iota(
+                    jnp.int32, (gr, L), 0)
+                if packed:
+                    ik = ((jax.lax.bitcast_convert_type(tc, jnp.int32)
+                           & ~IDM) | rid)
+                    gmin_i = jnp.min(ik, axis=0, keepdims=True)
+                    obj_sc[:] = jnp.minimum(obj_sc[:], gmin_i)
+                else:
+                    gmin = jnp.min(tc, axis=0, keepdims=True)
+                    gobj = jnp.min(
+                        jnp.where(tc == gmin, rid, jnp.int32(0x7FFFFFFF)),
+                        axis=0, keepdims=True)
+                    better = gmin < t_sc[:]
+                    t_sc[:] = jnp.where(better, gmin, t_sc[:])
+                    obj_sc[:] = jnp.where(better, gobj, obj_sc[:])
+                return
             r = [otab_ref[sl, GO_RR00 + i : GO_RR00 + i + 1]
                  for i in range(9)]
             lox = r[0] * rx + r[3] * ry + r[6] * rz
@@ -541,17 +590,32 @@ def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
 
     import os as _os
     _abl = frozenset(_os.environ.get("UBER_ABLATE", "").split(","))
+    # Groups per taken pl.when (see sweep2._sweep_loop): a taken branch
+    # costs ~2-4 us at L = 2048, so spanning groups under one branch can
+    # beat per-group branches when most groups are entered anyway.
+    _span = int(_os.environ.get("UBER_SPAN_G",
+                                _os.environ.get("UBER_SPAN", "1")))
 
-    def group_level(g):
+    def group_level(gs):
         if "noslab" in _abl:  # ablation: straight-line, no group branch
-            group_body(g)
+            for g in gs:
+                group_body(g)
             return
-        ghit = _slab_hit(gaabb_ref, g, ox, oy, oz, ix, iy, iz,
-                         t_best_now()) & live
+        tb = t_best_now()
+        ghit = jnp.zeros((1, L), jnp.bool_)
+        for g in gs:
+            ghit = ghit | _slab_hit(gaabb_ref, g, ox, oy, oz, ix, iy, iz,
+                                    tb)
+        ghit = ghit & live
 
         @pl.when(jnp.any(ghit))
-        def _(g=g):
-            group_body(g)
+        def _(gs=gs):
+            for g in gs:
+                group_body(g)
+
+    def span_levels(g_lo, g_hi):
+        for g0 in range(g_lo, g_hi, _span):
+            group_level(range(g0, min(g0 + _span, g_hi)))
 
     if gkinds is not None and "nokinds" in _abl:
         gkinds = None
@@ -562,11 +626,9 @@ def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
 
             @pl.when(jnp.any(shit))
             def _(s=s):
-                for g in range(s * SG, min((s + 1) * SG, n_groups)):
-                    group_level(g)
+                span_levels(s * SG, min((s + 1) * SG, n_groups))
     else:
-        for g in range(n_groups):
-            group_level(g)
+        span_levels(0, n_groups)
 
     if packed:
         ik = obj_sc[:]

@@ -213,10 +213,19 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             # four channel segments instead of a (4R, L) interleaved select)
             fin = (~act) & (k >= 0)
 
+            # "slflow": run flush/regen/push straight-line — their bodies
+            # are already lane-masked (sel & fin / can_re / do_push), and a
+            # TAKEN pl.when costs more than these small bodies when the
+            # branch fires nearly every iteration (2048 lanes: some lane
+            # finishes almost always).
+            _slflow = "slflow" in _ABLATE
+            _when = (lambda c: (lambda f: f())) if _slflow else (
+                lambda c: pl.when(c))
+
             if "flush" in _ABLATE:  # ablation: measure flush cost
                 pass
             elif order == "pixel":
-                @pl.when(jnp.any(fin))
+                @_when(jnp.any(fin))
                 def _():
                     accs = acc_sc[:]
                     p_fin = pof(k)
@@ -231,7 +240,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                         out_ref[c * NPIX : (c + 1) * NPIX] = seg + jnp.where(
                             sel, vals[c], 0.0)
             else:
-                @pl.when(jnp.any(fin))
+                @_when(jnp.any(fin))
                 def _():
                     accs = acc_sc[:]
                     sel = (rowR == k) & fin
@@ -247,7 +256,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             can_re = ((~act) & (k_next >= 0) & (k_next < R)
                       & (p_new < B_total))
 
-            @pl.when(jnp.any(can_re))
+            @_when(jnp.any(can_re))
             def _():
                 new16, cth, sth = raygen(p_new)
                 cur_sc[:] = jnp.where(can_re, new16, cur_sc[:])
@@ -302,8 +311,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             trig = (None if "nocarry" in _ABLATE
                     else (trig_sc[0:1], trig_sc[1:2]))
 
-            @pl.when(jnp.any(hit))
-            def _():
+            def _shade_vals():
                 if shading == "materials":
                     from raytracing_tests_tpu.kernels.mega import (
                         _gather_refine, _shade_materials_k)
@@ -312,50 +320,66 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                         ftab_ref, obj_sc[:], cur[0:1],
                         cur[1:2], cur[2:3], dx, dy, dz, cur[6:7], t_sc[:],
                         hit, n_pad=n_pad, has_motion=has_motion, mode=mode)
-                    (r_, g_, b_, t_, refr_, refl_, sr_, sl_,
-                     wh_) = _shade_materials_k(
+                    return _shade_materials_k(
                         rows, *refined, dx, dy, dz, cur[6:7], contrib,
                         cur[9:10], act, sidx, cur[10:11], cur[11:12], hit,
                         bgr, bgg, bgb, spp=spp, max_bounces=max_bounces,
                         t_max=t_max, tex=tex, trig=trig)
-                else:
+                return _shade_hits(
+                    otab_ref, ftab_ref, gaabb_ref,
+                    cur[0:1], cur[1:2], cur[2:3], dx, dy, dz, cur[6:7],
+                    contrib, cur[9:10], act, sidx, t_sc[:], obj_sc[:],
+                    hit, bgr, bgg, bgb, n_pad=n_pad, n_groups=n_groups,
+                    gr=gr, has_motion=has_motion,
+                    has_dielectrics=has_dielectrics, spp=spp,
+                    max_bounces=max_bounces, t_max=t_max,
+                    use_mxu=use_mxu, mode=mode, lights_ref=lights_ref,
+                    n_lights=n_lights, n_pgroups=n_pgroups, tex=tex,
+                    gkinds=gkinds, n_sgroups=n_sgroups, trig=trig)
+
+            if "slshade" in _ABLATE:
+                # Straight-line shade: no branch pair, no res_sc relay.
+                # _shade_hits/_shade_materials_k already handle miss lanes
+                # (they take the hit mask + background), so this is the
+                # mixed-iteration path applied unconditionally — pure-sky
+                # iterations pay the full shade body instead of a taken
+                # branch.
+                (add_r, add_g, add_b, hit_t, refr16, refl16,
+                 sr_b, sl_b, wh_b) = _shade_vals()
+                spawn_refr = sr_b
+                spawn_refl = sl_b
+                white_b = wh_b
+            else:
+                @pl.when(jnp.any(hit))
+                def _():
                     (r_, g_, b_, t_, refr_, refl_, sr_, sl_,
-                     wh_) = _shade_hits(
-                        otab_ref, ftab_ref, gaabb_ref,
-                        cur[0:1], cur[1:2], cur[2:3], dx, dy, dz, cur[6:7],
-                        contrib, cur[9:10], act, sidx, t_sc[:], obj_sc[:],
-                        hit, bgr, bgg, bgb, n_pad=n_pad, n_groups=n_groups,
-                        gr=gr, has_motion=has_motion,
-                        has_dielectrics=has_dielectrics, spp=spp,
-                        max_bounces=max_bounces, t_max=t_max,
-                        use_mxu=use_mxu, mode=mode, lights_ref=lights_ref,
-                        n_lights=n_lights, n_pgroups=n_pgroups, tex=tex,
-                        gkinds=gkinds, n_sgroups=n_sgroups, trig=trig)
-                res_sc[:] = jnp.concatenate([
-                    r_, g_, b_, t_, refr_, refl_,
-                    sr_.astype(jnp.float32), sl_.astype(jnp.float32),
-                    wh_.astype(jnp.float32),
-                    jnp.zeros((1, L), jnp.float32),
-                ], axis=0)
+                     wh_) = _shade_vals()
+                    res_sc[:] = jnp.concatenate([
+                        r_, g_, b_, t_, refr_, refl_,
+                        sr_.astype(jnp.float32), sl_.astype(jnp.float32),
+                        wh_.astype(jnp.float32),
+                        jnp.zeros((1, L), jnp.float32),
+                    ], axis=0)
 
-            @pl.when(~jnp.any(hit))
-            def _():
-                mc = jnp.where(act, contrib, 0.0)
-                res_sc[:] = jnp.concatenate([
-                    mc * bgr, mc * bgg, mc * bgb, tmax_row,
-                    jnp.zeros((36, L), jnp.float32),
-                ], axis=0)
+                @pl.when(~jnp.any(hit))
+                def _():
+                    mc = jnp.where(act, contrib, 0.0)
+                    res_sc[:] = jnp.concatenate([
+                        mc * bgr, mc * bgg, mc * bgb, tmax_row,
+                        jnp.zeros((36, L), jnp.float32),
+                    ], axis=0)
 
-            res = res_sc[:]
-            add_r, add_g, add_b = res[0:1], res[1:2], res[2:3]
-            hit_t = res[3:4]
-            refr16 = res[4:20]
-            refl16 = res[20:36]
-            spawn_refr = res[36:37] > 0.5
-            spawn_refl = res[37:38] > 0.5
+                res = res_sc[:]
+                add_r, add_g, add_b = res[0:1], res[1:2], res[2:3]
+                hit_t = res[3:4]
+                refr16 = res[4:20]
+                refl16 = res[20:36]
+                spawn_refr = res[36:37] > 0.5
+                spawn_refl = res[37:38] > 0.5
+                white_b = res[38:39] > 0.5
             # Emissive abort: the whole SAMPLE becomes pure white and the
             # lane's remaining tree (current ray + stacked siblings) drops.
-            white = (res[38:39] > 0.5) & act if n_lights > 0 else (
+            white = white_b & act if n_lights > 0 else (
                 jnp.zeros((1, L), jnp.bool_))
             primary = act & (cur[9:10] == 0.0)
             acc_r = acc_sc[0:1] + add_r
@@ -395,7 +419,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             for rr in range(1, REC):
                 valsN = jnp.where(qrN == rr, recN[rr : rr + 1], valsN)
 
-            @pl.when(jnp.any(do_push))
+            @_when(jnp.any(do_push))
             def _():
                 q_sc[:] = jnp.where(((qrow // REC) == qs) & do_push, valsN,
                                     q_sc[:])
@@ -569,7 +593,8 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
             pltpu.VMEM((4, L), jnp.float32),  # round accumulator
             pltpu.VMEM((1, L), jnp.float32),  # sweep t
             pltpu.VMEM((1, L), jnp.int32),  # sweep obj
-            pltpu.VMEM((40, L), jnp.float32),  # shade results
+            # shade-results relay (unused under straight-line shade)
+            pltpu.VMEM((1 if "slshade" in _ABLATE else 40, L), jnp.float32),
             pltpu.VMEM((2, L), jnp.float32),  # carried (cos, sin) of s
         ],
         interpret=_interpret(),
@@ -623,16 +648,27 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     gr = min(gr, max(8, -(-scene.capacity // 8) * 8))
     H, W, S = cfg.height, cfg.width, cfg.spp
     B = H * W * S
+    # Cut the surrounding-RI probe table to the rows that can actually
+    # contain a probe point (sweep2.probe_relevant_rows — exact consumer
+    # reachability; the full ri != 1 table was 61 groups on the headline
+    # scene, of which ~3 can ever answer).  Traced scenes keep everything.
+    from raytracing_tests_tpu.kernels.sweep2 import probe_relevant_rows
+
+    probe_rows, probe_mask = cfg.probe_rows, None
+    if probe_rows != 0:
+        probe_mask = probe_relevant_rows(scene)
+        if probe_mask is not None:
+            probe_rows = int(probe_mask.sum())
     if cfg.pallas_mode == "spheres":
         accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
                             sort_origin=camera.position,
-                            probe_rows=cfg.probe_rows)
+                            probe_rows=probe_rows, probe_mask=probe_mask)
     else:
         from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
 
         accel = make_accel2g(scene, gr=gr, has_motion=cfg.has_motion,
                              sort_origin=camera.position,
-                             probe_rows=cfg.probe_rows)
+                             probe_rows=probe_rows, probe_mask=probe_mask)
     cam = pack_camera(camera)
     out, stat, NB = _uber_call(accel.otab, accel.ftab3, accel.gaabb, cam,
                                cfg, B, L, R, gr, use_mxu, lts=lts,

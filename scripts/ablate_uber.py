@@ -23,12 +23,23 @@ def main():
     tag = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "UBER_ABLATE", "base")
     order = os.environ.get("UBER_ORDER", "sample")
+    L = int(os.environ.get("UBER_L", 2048))
+    R = int(os.environ.get("UBER_R", 96))
+    gr = int(os.environ.get("UBER_GR", 64))
+    n = int(os.environ.get("UBER_N", 3))
     s, c = examples.iow_final_scene()
     cfg = RenderConfig(width=800, height=450, spp=100, max_bounces=8,
                        intersector="pallas").for_scene(s)
-    run(f"ablate[{tag or 'base'}|{order}]",
-        lambda: render_uber(s, c, cfg, L=2048, R=96, gr=64, qcap=3,
-                            order=order), n=3)
+    out = render_uber(s, c, cfg, L=L, R=R, gr=gr, qcap=3, order=order)
+    import jax as _jax
+    _jax.block_until_ready(out["image"])
+    iters = int(out["iters"])
+    print(f"[{tag}] iters={iters} occ={iters * L / int(out['rays']):.3f}x "
+          f"groups/iter={int(out['groups_entered']) / max(iters, 1):.2f}",
+          flush=True)
+    run(f"ablate[{tag or 'base'}|{order}|L{L}R{R}gr{gr}]",
+        lambda: render_uber(s, c, cfg, L=L, R=R, gr=gr, qcap=3,
+                            order=order), n=n)
 
 
 if __name__ == "__main__":
