@@ -76,7 +76,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                  n_pad, n_groups, gr, has_motion, has_dielectrics, Q,
                  B_total, use_mxu, max_iters, pops, mode="spheres",
                  n_lights=0, shading="bvh", order="sample", n_pgroups=0,
-                 tex_meta=None, n_sgroups=0, gkinds=None):
+                 tex_meta=None, n_sgroups=0, gkinds=None, tile=None):
     aspect = W / H
     # Queued-record width: o3, d3, contrib, bounced (+ medium, parent under
     # the materials shading — the per-ray medium-RI stack rides the record).
@@ -135,8 +135,23 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             pix = p // spp
             s_i = p - pix * spp
             sf = s_i.astype(jnp.float32)
-            ix = pix - (pix // W) * W
-            iy = pix // W
+            if tile is not None:
+                # Tiled pixel order: consecutive pix indices walk tw x th
+                # tiles (row-major within a tile, tiles row-major), so a
+                # round's L lanes cover a COMPACT 2-D block instead of a
+                # scanline — tighter world-space ray spread, more groups
+                # die on the slab cull.  A pure bijection of pixel
+                # indices: the host unpermutes the finished image.
+                tw, th = tile
+                TPR = W // tw
+                PPT = tw * th
+                t_i = pix // PPT
+                w_i = pix - t_i * PPT
+                ix = (t_i - (t_i // TPR) * TPR) * tw + (w_i - (w_i // tw) * tw)
+                iy = (t_i // TPR) * th + w_i // tw
+            else:
+                ix = pix - (pix // W) * W
+                iy = pix // W
             iy = (iy.astype(jnp.float32) * cam_ref[0, CAM_STRIDE]
                   + cam_ref[0, CAM_ROW0])
             pxs = (ix.astype(jnp.float32) * (1.0 / W) - 0.5) * aspect
@@ -529,11 +544,11 @@ def pack_camera(camera, row_stride=1.0, row0=0.0):
     jax.jit,
     static_argnames=("cfg", "B", "L", "R", "gr", "use_mxu", "full_height",
                      "n_lights", "order", "tex_meta", "n_sgroups",
-                     "gkinds"))
+                     "gkinds", "tile"))
 def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
                gr: int, use_mxu: bool, full_height: int = 0, lts=None,
                n_lights: int = 0, order: str = "sample", tex3=None,
-               tex_meta=None, n_sgroups: int = 0, gkinds=None):
+               tex_meta=None, n_sgroups: int = 0, gkinds=None, tile=None):
     from raytracing_tests_tpu.kernels.sweep2 import PROBE_GR
 
     fhi, fmid, flo = ftab3
@@ -561,7 +576,7 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
         use_mxu=use_mxu, max_iters=max_iters, pops=cfg.pops,
         mode=cfg.pallas_mode, n_lights=n_lights, shading=cfg.shading,
         order=order, n_pgroups=n_pgroups, tex_meta=tex_meta,
-        n_sgroups=n_sgroups, gkinds=gkinds)
+        n_sgroups=n_sgroups, gkinds=gkinds, tile=tile)
     lane_spec = lambda rows: pl.BlockSpec((rows, L), lambda i: (0, i),
                                           memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
@@ -604,7 +619,7 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
 
 def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
                 gr: int = 32, use_mxu: bool = False, qcap=None,
-                order: str = "sample"):
+                order: str = "sample", tile=None):
     """Full render via the persistent kernel;
     dict(image, depth, rays, rays_dropped).
 
@@ -648,6 +663,16 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     gr = min(gr, max(8, -(-scene.capacity // 8) * 8))
     H, W, S = cfg.height, cfg.width, cfg.spp
     B = H * W * S
+    if tile == "auto":
+        # Compact 2-D round footprint (see raygen): pick divisors of the
+        # frame; a round's L lanes then span ~sqrt the scanline extent.
+        tw = next((t for t in (8, 16, 4) if W % t == 0), None)
+        th = next((t for t in (8, 6, 5, 4, 3, 2) if H % t == 0), None)
+        tile = (tw, th) if (tw and th) else None
+    if tile is not None:
+        tw, th = tile
+        assert order == "sample" and W % tw == 0 and H % th == 0, (
+            tile, W, H, order)
     # Cut the surrounding-RI probe table to the rows that can actually
     # contain a probe point (sweep2.probe_relevant_rows — exact consumer
     # reachability; the full ri != 1 table was 61 groups on the headline
@@ -675,7 +700,8 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
                                n_lights=n_lights, order=order, tex3=tex3,
                                tex_meta=tex_meta,
                                n_sgroups=getattr(accel, "n_sgroups", 0),
-                               gkinds=getattr(accel, "gkinds", None))
+                               gkinds=getattr(accel, "gkinds", None),
+                               tile=tile)
     if order == "pixel":
         # out: (4*NPIX, NB*L) per-pixel sums of gamma'd samples (+ the mid
         # sample's depth in channel 3).  Global column j's first primary is
@@ -699,9 +725,23 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
         o4 = out.reshape(4, R, NB, L).transpose(2, 1, 3, 0).reshape(
             NB * R * L, 4)
         o4 = o4[:B]
-        colors3 = o4[:, :3].reshape(H, W, S, 3)
+        colors3 = o4[:, :3].reshape(H, W, S, 3)  # kernel pixel order
         primary_t = o4[:, 3].reshape(H, W, S)
-        res = finalize(colors3, primary_t, cfg)
+        res = finalize(colors3, primary_t, cfg)  # pixel-independent
+        if tile is not None:
+            # Unpermute the tiled pixel order back to row-major: kernel
+            # pixel i rendered actual pixel pixdst[i] (same bijection as
+            # raygen); one static gather each for image and depth.
+            q = np.arange(H * W)
+            TPR, PPT = W // tw, tw * th
+            t_i, w_i = q // PPT, q % PPT
+            pixdst = (((t_i // TPR) * th + w_i // tw) * W
+                      + (t_i % TPR) * tw + w_i % tw)
+            inv = np.empty(H * W, np.int32)
+            inv[pixdst] = q
+            res["image"] = res["image"].reshape(H * W, 3)[inv].reshape(
+                H, W, 3)
+            res["depth"] = res["depth"].reshape(H * W)[inv].reshape(H, W)
     res["rays"] = jnp.sum(stat[0])
     res["rays_dropped"] = jnp.sum(stat[1])
     # Occupancy diagnostics: rows 2/3 carry the block's while-loop

@@ -30,16 +30,20 @@ def main():
     s, c = examples.iow_final_scene()
     cfg = RenderConfig(width=800, height=450, spp=100, max_bounces=8,
                        intersector="pallas").for_scene(s)
-    out = render_uber(s, c, cfg, L=L, R=R, gr=gr, qcap=3, order=order)
+    tile = os.environ.get("UBER_TILE") or None
+    if tile and tile != "auto":
+        tile = tuple(int(x) for x in tile.split("x"))
+    out = render_uber(s, c, cfg, L=L, R=R, gr=gr, qcap=3, order=order,
+                      tile=tile)
     import jax as _jax
     _jax.block_until_ready(out["image"])
     iters = int(out["iters"])
     print(f"[{tag}] iters={iters} occ={iters * L / int(out['rays']):.3f}x "
           f"groups/iter={int(out['groups_entered']) / max(iters, 1):.2f}",
           flush=True)
-    run(f"ablate[{tag or 'base'}|{order}|L{L}R{R}gr{gr}]",
+    run(f"ablate[{tag or 'base'}|{order}|L{L}R{R}gr{gr}|tile{tile}]",
         lambda: render_uber(s, c, cfg, L=L, R=R, gr=gr, qcap=3,
-                            order=order), n=n)
+                            order=order, tile=tile), n=n)
 
 
 if __name__ == "__main__":

@@ -28,15 +28,18 @@ def main():
     s, c = examples.bvh_grid_scene(side=32)
     cfg = RenderConfig(width=800, height=450, spp=16, max_bounces=8,
                        intersector="pallas").for_scene(s)
-    out = render_uber(s, c, cfg, L=L, R=R, gr=gr)
+    tile = os.environ.get("UBER_TILE") or None
+    if tile and tile != "auto":
+        tile = tuple(int(x) for x in tile.split("x"))
+    out = render_uber(s, c, cfg, L=L, R=R, gr=gr, tile=tile)
     iters = int(out["iters"])
     rays = int(out["rays"])
     ge = int(out["groups_entered"])
     print(f"[{tag}] iters={iters} rays={rays} "
           f"occ={iters * L / max(rays, 1):.3f}x "
           f"groups/iter={ge / max(iters, 1):.2f}", flush=True)
-    run(f"bvh1k[{tag}|gr{gr}|L{L}|R{R}]",
-        lambda: render_uber(s, c, cfg, L=L, R=R, gr=gr), n=3)
+    run(f"bvh1k[{tag}|gr{gr}|L{L}|R{R}|tile{tile}]",
+        lambda: render_uber(s, c, cfg, L=L, R=R, gr=gr, tile=tile), n=3)
 
 
 if __name__ == "__main__":
