@@ -47,16 +47,19 @@ from raytracing_tests_tpu.scene import examples
 BASELINE_MRAYS_PER_CHIP = 62.5  # 1 Grays/s / 16 chips (BASELINE.md)
 
 
-def _make_fn(renderer, cfg, chunk, R=96, L=2048):
+def _make_fn(renderer, cfg, chunk, R=96, L=2048, qcap="auto"):
     if renderer == "uber":
         from raytracing_tests_tpu.kernels.uber import render_uber
 
         # qcap=3: a shallower in-VMEM LIFO is measurably faster (fewer
         # scratch rows per push/pop) and the headline scene's refraction
-        # trees never exceed depth 3 — rays_dropped is asserted 0 below.
-        # (materials shading keeps the full reference stack depth: its
-        # trees have no contribution cutoff.)
-        qcap = 3 if cfg.shading == "bvh" else None
+        # trees never exceed depth 3 — rays_dropped is asserted 0 below,
+        # and time_config FALLS BACK to the full reference stack depth if
+        # the shallow stack ever drops a ray (deeper glass nesting on a
+        # new scene degrades to the untuned speed, never to lost rays).
+        # (materials shading keeps the full stack: no contribution cutoff.)
+        if qcap == "auto":
+            qcap = 3 if cfg.shading == "bvh" else None
         return lambda s, c, lt: render_uber(s, c, cfg, lights=lt, L=L,
                                             R=R, gr=64, qcap=qcap)
     if renderer == "megalanes":
@@ -79,6 +82,13 @@ def time_config(scene, camera, cfg, renderer, chunk, lights=None, n_iters=3,
     fn = _make_fn(renderer, cfg, chunk, R=R, L=L)
     out = fn(scene, camera, lights)
     jax.block_until_ready(out["image"])
+    if renderer == "uber" and int(out.get("rays_dropped", 0)) > 0:
+        # The qcap=3 tune dropped rays on this scene (deeper refraction
+        # nesting than the headline family): fall back to the full
+        # reference stack depth and remeasure honestly.
+        fn = _make_fn(renderer, cfg, chunk, R=R, L=L, qcap=None)
+        out = fn(scene, camera, lights)
+        jax.block_until_ready(out["image"])
     rays = int(out["rays"])
     # Per-frame timing, BEST of n: the chip rides a shared tunnel whose
     # dispatch/transfer weather is bimodal (same code measured 41.5 and

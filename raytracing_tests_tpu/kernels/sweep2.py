@@ -742,6 +742,15 @@ def make_accel2(scene: Scene, gr: int = DEFAULT_GR,
                   n_pgroups=pgaabb.shape[0])
 
 
+# probe_relevant_rows cache: the O(N^2) host matrix (a ~200 MB transient
+# at the N = 4096 threshold) must not be rebuilt on every render call.
+# Keyed by id(scene.position); the stored strong ref keeps the key array
+# alive, so a matching id PROVES identity (ids are unique among live
+# objects).  Bounded FIFO — renders reuse a handful of scenes.
+_PROBE_CACHE: dict = {}
+_PROBE_CACHE_MAX = 8
+
+
 def probe_relevant_rows(scene, margin: float = 4e-3):
     """Boolean np mask of scene rows that can move the surrounding-RI probe
     off the neutral 1.0 — or ``None`` for traced scenes (keep everything).
@@ -753,61 +762,80 @@ def probe_relevant_rows(scene, margin: float = 4e-3):
     1e-3 OUTSIDE the (convex) winner along the outward normal.  Interiors
     are REACHABLE through refraction, so inner-hit surfaces belong to
     refractive objects or to objects whose volume overlaps one (a ray can
-    exit glass inside them; entering any other interior requires a
-    refraction event — or an epsilon-scale spawn offset, see below).
-    Therefore a probe row B matters only if B (ri != 1) lies within
-    ``margin`` (probe offset + spawn offset + slack) of the surface of
-    some HOST A — refractive, or overlapping a refractive — with A != B.
+    exit glass inside them — and spawn offsets can hop the ray across any
+    further overlap in the chain, so hosts are the TRANSITIVE closure of
+    the gap <= margin adjacency seeded at refractive rows).  Therefore a
+    probe row B matters only if B (ri != 1) lies within ``margin`` (probe
+    offset + spawn offset + slack) of the surface of some HOST A != B.
     The reference's accumulation traversal (01_BVH glsl:268-345) culls
     per-probe by AABB descent; this is the same cut made static.
 
     NOT bit-exact, honestly: reflect children spawn 1e-4 outside their
-    winner, which can be 1e-4 INSIDE an overlapping opaque neighbor —
-    an interior reached without refraction that this cut ignores.
-    Measured on the headline scene: +41 rays of 92M (4.5e-7) and no
-    change in the image mean — far inside the statistical envelope every
-    cross-renderer comparison already accepts (PERFORMANCE.md fact 14).
-    Cut: 486 probe rows (61 straight-line groups) -> 40 rows (5 groups)
-    on the headline scene, worth ~27% of the frame (54.0 -> 74.4 Mrays/s
-    same-window).
+    winner, which can be 1e-4 INSIDE a NON-host opaque neighbor — an
+    interior reached without refraction that this cut ignores (the
+    closure covers the hop only when the neighbor chains back to a
+    refractive row).  Measured on the headline scene: +41 rays of 92M
+    (4.5e-7) and no change in the image mean — far inside the statistical
+    envelope every cross-renderer comparison already accepts
+    (PERFORMANCE.md fact 14).  ALSO ASSUMED: the camera starts in air —
+    a camera placed inside a dielectric would probe interiors no
+    refraction event reaches (use ``cfg.probe_rows = -1`` to keep the
+    full table for such scenes).  Cut: 486 probe rows (61 straight-line
+    groups) -> 40 rows (5 groups) on the headline scene, worth ~27% of
+    the frame (54.0 -> 74.4 Mrays/s same-window).
 
     Sphere scenes use exact pairwise surface gaps (shrunk by both motion
     amplitudes — centers sweep [c - dp, c]); generic scenes use the
     conservative world-AABB gap.  Training keeps the full table (traced
     scenes return None): optimization can move objects into contact."""
+    ck = id(scene.position)
+    hit_c = _PROBE_CACHE.get(ck)
+    if hit_c is not None and hit_c[0] is scene.position and hit_c[1] == margin:
+        return hit_c[2]
     try:
         valid = np.asarray(scene.valid)
         dmask = valid & (np.asarray(scene.refractive_index) != 1.0)
         refr = valid & (np.asarray(scene.refractivity) > 0.002)
         n = valid.shape[0]
         if n > 4096:  # O(N^2) host check; stay conservative at 10k+
-            return dmask
-        if not refr.any():
-            return np.zeros_like(dmask)
-        from raytracing_tests_tpu.kernels.sweep import scene_mode
-
-        if scene_mode(scene) == "spheres":
-            c = np.asarray(scene.position)
-            r = np.asarray(scene.scale)[:, 0]
-            amp = np.linalg.norm(np.asarray(scene.delta_position), axis=1)
-            d = np.linalg.norm(c[:, None] - c[None, :], axis=-1)
-            gap = d - (r[:, None] + r[None, :]) - (amp[:, None] + amp[None, :])
+            mask = dmask
+        elif not refr.any():
+            mask = np.zeros_like(dmask)
         else:
-            lo, hi = scene.world_aabbs()  # already motion-swept
-            lo = np.asarray(lo)
-            hi = np.asarray(hi)
-            sep = np.maximum(lo[:, None] - hi[None, :],
-                             lo[None, :] - hi[:, None])
-            gap = sep.max(axis=-1)
-        np.fill_diagonal(gap, np.inf)
-        gap[~valid] = np.inf
-        gap[:, ~valid] = np.inf
-        touches_refr = (gap[:, refr] <= margin).any(axis=1)
-        hosts = refr | (valid & touches_refr)
-        near_host = (gap[:, hosts] <= margin).any(axis=1)
-        return dmask & near_host
+            from raytracing_tests_tpu.kernels.sweep import scene_mode
+
+            if scene_mode(scene) == "spheres":
+                c = np.asarray(scene.position)
+                r = np.asarray(scene.scale)[:, 0]
+                amp = np.linalg.norm(np.asarray(scene.delta_position), axis=1)
+                d = np.linalg.norm(c[:, None] - c[None, :], axis=-1)
+                gap = (d - (r[:, None] + r[None, :])
+                       - (amp[:, None] + amp[None, :]))
+            else:
+                lo, hi = scene.world_aabbs()  # already motion-swept
+                lo = np.asarray(lo)
+                hi = np.asarray(hi)
+                sep = np.maximum(lo[:, None] - hi[None, :],
+                                 lo[None, :] - hi[:, None])
+                gap = sep.max(axis=-1)
+            np.fill_diagonal(gap, np.inf)
+            gap[~valid] = np.inf
+            gap[:, ~valid] = np.inf
+            touch = gap <= margin  # symmetric adjacency
+            hosts = refr.copy()  # transitive closure over touch
+            while True:
+                grown = hosts | (valid & touch[:, hosts].any(axis=1))
+                if (grown == hosts).all():
+                    break
+                hosts = grown
+            near_host = touch[:, hosts].any(axis=1)
+            mask = dmask & near_host
     except jax.errors.TracerArrayConversionError:
         return None
+    if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+        _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+    _PROBE_CACHE[ck] = (scene.position, margin, mask)
+    return mask
 
 
 def _probe_tables(scene, key, valid, lo, hi, gr: int, probe_rows, packer,

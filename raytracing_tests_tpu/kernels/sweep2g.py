@@ -92,10 +92,13 @@ GFT_ROWS = 32  # 4 f32 sublane tiles
 _ELL = float(geometry.ELLIPSOID)
 
 
-def pack_tables_g(scene: Scene, order, n_pad: int, valid_mask=None):
+def pack_tables_g(scene: Scene, order, n_pad: int, valid_mask=None,
+                  pos_live=None):
     """Morton-ordered scene -> (otab (Np, 128), ftab (GFT_ROWS, Np)).
     ``valid_mask`` (original-index space) additionally kills rows — used by
-    the dielectric-only probe sub-table."""
+    the dielectric-only probe sub-table.  ``pos_live`` (POSITIONAL, length
+    of ``order``) kills the dead padding rows the type-pure grouping
+    inserts mid-table (duplicated index-0 fillers)."""
     s = {f: getattr(scene, f)[order] for f in (
         "position", "rotation", "scale", "delta_position", "obj_type",
         "color", "refractive_index", "refractivity", "reflectivity",
@@ -104,6 +107,8 @@ def pack_tables_g(scene: Scene, order, n_pad: int, valid_mask=None):
     )}
     if valid_mask is not None:
         s["valid"] = s["valid"] & valid_mask[order]
+    if pos_live is not None:
+        s["valid"] = s["valid"] & jnp.asarray(pos_live)
     n = order.shape[0]
     c = s["position"]
     dp = s["delta_position"]
@@ -199,37 +204,88 @@ def make_accel2g(scene: Scene, gr: int = 64, has_motion: bool = True,
     size = jnp.max(hi_v - lo_v, axis=-1) / jnp.max(sext)
     huge = (size > 0.5) & valid
     codes = jnp.where(valid, codes >> jnp.uint32(2), jnp.uint32(0x3FFFFFFF))
-    key = jnp.where(huge, jnp.uint32(0), codes + jnp.uint32(1))
-    # TYPE-PACKED grouping: sort by (huge, primitive type, morton) so the
-    # per-group type census sees PURE groups — each group body then tests
-    # ONE primitive instead of both (the mixed body is ~1.7x a pure one).
-    # Costs a little AABB tightness (same-type Morton neighbours straddle
-    # the other type's cells on alternating scenes); wins on body cost.
+    # TYPE-PURE grouping: walk the Morton order accumulating per-type
+    # pending runs; a group is emitted whenever a run reaches ``gr`` rows
+    # (huge objects lead in their own groups; partial runs emit padded
+    # with dead rows).  Every group is then a SINGLE primitive type (the
+    # census below can pick the cheap specialized body — the mixed body
+    # is ~1.7x a pure one) while its members stay Morton-ADJACENT within
+    # their type, so group AABBs keep near-mixed tightness.  The round-3
+    # GLOBAL (huge, type, morton) key lost that tightness on alternating
+    # scenes: a checkerboard grid's 64 same-type Morton neighbours span
+    # ~128 cells, doubling every group AABB (measured 13.2/17 groups
+    # entered per iteration on bvh1k).  UBER_TPACK=global restores that
+    # key; =none disables type packing; traced scenes fall back to plain
+    # Morton (their census is None — mixed bodies — so packing is moot).
+    import os as _os1
+    tpack = _os1.environ.get("UBER_TPACK", "pure")
     cub = (scene.obj_type != geometry.ELLIPSOID) & valid & ~huge
-    key = key + jnp.where(cub, jnp.uint32(0x40000000), jnp.uint32(0))
+    key = jnp.where(huge, jnp.uint32(0), codes + jnp.uint32(1))
+    if tpack == "global":
+        key = key + jnp.where(cub, jnp.uint32(0x40000000), jnp.uint32(0))
     key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key).astype(jnp.int32)
 
     n = scene.capacity
-    n_pad = -(-n // gr) * gr
+    pos_live = None
+    if tpack == "pure":
+        try:
+            morder = np.asarray(order)
+            v_np = np.asarray(valid)
+            h_np = np.asarray(huge)
+            c_np = np.asarray(cub)
+            groups = []
+            hrun = [int(i) for i in morder if v_np[i] and h_np[i]]
+            for k0 in range(0, len(hrun), gr):
+                groups.append(hrun[k0 : k0 + gr])
+            pend = {False: [], True: []}
+            for i in morder:
+                i = int(i)
+                if not v_np[i] or h_np[i]:
+                    continue
+                b = pend[bool(c_np[i])]
+                b.append(i)
+                if len(b) == gr:
+                    groups.append(b[:])
+                    b.clear()
+            for b in (pend[False], pend[True]):
+                if b:
+                    groups.append(b)
+            if not groups:  # degenerate all-invalid scene
+                groups = [[0]]
+            rows, lv = [], []
+            for gm in groups:
+                rows += gm + [0] * (gr - len(gm))
+                lv += [True] * len(gm) + [False] * (gr - len(gm))
+            order = jnp.asarray(np.array(rows, np.int32))
+            pos_live = np.array(lv, bool)
+        except jax.errors.TracerArrayConversionError:
+            pos_live = None  # traced: plain Morton grouping
+    n_pad = order.shape[0] if pos_live is not None else -(-n // gr) * gr
 
     INF = 3.0e38
-    lo_s = jnp.where(valid[order][:, None], lo[order], INF)
-    hi_s = jnp.where(valid[order][:, None], hi[order], -INF)
-    if n_pad != n:
-        lo_s = jnp.concatenate([lo_s, jnp.full((n_pad - n, 3), INF)])
-        hi_s = jnp.concatenate([hi_s, jnp.full((n_pad - n, 3), -INF)])
+    vord = valid[order]
+    if pos_live is not None:
+        vord = vord & jnp.asarray(pos_live)
+    lo_s = jnp.where(vord[:, None], lo[order], INF)
+    hi_s = jnp.where(vord[:, None], hi[order], -INF)
+    if n_pad != order.shape[0]:
+        lo_s = jnp.concatenate(
+            [lo_s, jnp.full((n_pad - order.shape[0], 3), INF)])
+        hi_s = jnp.concatenate(
+            [hi_s, jnp.full((n_pad - order.shape[0], 3), -INF)])
     glo = jnp.min(lo_s.reshape(-1, gr, 3), axis=1)
     ghi = jnp.max(hi_s.reshape(-1, gr, 3), axis=1)
     G = glo.shape[0]
     gaabb = jnp.zeros((G, OT_COLS), jnp.float32)
     gaabb = gaabb.at[:, 0:3].set(glo).at[:, 3:6].set(ghi)
 
-    otab, ftab = pack_tables_g(scene, order, n_pad)
+    otab, ftab = pack_tables_g(scene, order, n_pad, pos_live=pos_live)
 
     perm = order
-    if n_pad != n:
-        perm = jnp.concatenate([perm, jnp.zeros((n_pad - n,), jnp.int32)])
+    if n_pad != order.shape[0]:
+        perm = jnp.concatenate(
+            [perm, jnp.zeros((n_pad - order.shape[0],), jnp.int32)])
     if sort_origin is not None:
         origin = jnp.asarray(sort_origin, jnp.float32)
         near = jnp.clip(origin, glo, ghi)
@@ -260,22 +316,40 @@ def make_accel2g(scene: Scene, gr: int = 64, has_motion: bool = True,
     try:
         typ = np.asarray(otab[: G * gr, GO_TYPE]).reshape(G, gr)
         vld = np.asarray(otab[: G * gr, GO_VALID]).reshape(G, gr) > 0
-        # 's' sub-kind: every valid row an ISOTROPIC, UNROTATED ellipsoid
-        # (a plain sphere) — the body then runs the world-frame quadratic
-        # with no rotation loads and no divisions.
+        # 's' sub-kind: every valid row an ISOTROPIC ellipsoid (a plain
+        # sphere) — the body then runs the world-frame quadratic with no
+        # rotation loads and no divisions.  Rotation is irrelevant to the
+        # intersection of an isotropic sphere (it only affects the texture
+        # frame, which the winner refine reads from the ftab rotation), so
+        # rotated isotropic spheres qualify too.
         sc3 = np.asarray(otab[: G * gr, GO_SX : GO_SZ + 1]).reshape(G, gr, 3)
+        iso = (sc3[..., 0] == sc3[..., 1]) & (sc3[..., 0] == sc3[..., 2])
+        # Cuboid sub-kinds from the rotation STRUCTURE: 'a' = identity
+        # rotation (slab straight on the relative frame — no rotation
+        # loads/FMAs at all), 'cy' = rotation about y only (4 matrix
+        # entries instead of 9).  Both match the mixed body bit-for-bit
+        # up to the sign of exact zeros: the skipped terms multiply exact
+        # 0.0/1.0 entries (x*1.0 == x; x + 0.0*y == x for every finite
+        # nonzero x, and a -0.0/+0.0 flip only moves degenerate
+        # axis-parallel slab candidates between +-inf, which min/max
+        # ordering absorbs).
         rot = np.asarray(
             otab[: G * gr, GO_RR00 : GO_RR00 + 9]).reshape(G, gr, 9)
-        eye = np.eye(3, dtype=np.float32).reshape(9)
-        iso = ((sc3[..., 0] == sc3[..., 1]) & (sc3[..., 0] == sc3[..., 2])
-               & (rot == eye).all(axis=-1))
+        ident = (rot == np.eye(3, dtype=np.float32).reshape(9)).all(axis=-1)
+        yrot = ((rot[..., 1] == 0) & (rot[..., 3] == 0) & (rot[..., 4] == 1)
+                & (rot[..., 5] == 0) & (rot[..., 7] == 0))
         kinds = []
         for g in range(G):
-            t = typ[g][vld[g]]
+            v = vld[g]
+            t = typ[g][v]
             has_e = bool((t == _ELL).any())
             has_c = bool((t != _ELL).any())
-            if has_e and not has_c and bool(iso[g][vld[g]].all()):
+            if has_e and not has_c and bool(iso[g][v].all()):
                 kinds.append("s")
+            elif has_c and not has_e and bool(ident[g][v].all()):
+                kinds.append("a")
+            elif has_c and not has_e and bool(yrot[g][v].all()):
+                kinds.append("cy")
             else:
                 kinds.append("m" if (has_e and has_c) else
                              ("c" if has_c else "e"))
@@ -507,7 +581,47 @@ def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
                 t1 = -hb + sq
                 t_e = jnp.where(t0 < 0.0, t1, t0)
                 tc = jnp.where(ok & (t_e > 0.0), t_e, BIG_T)
-                tc = jnp.where(valid_col, tc, BIG_T)
+                # live mask: a dead lane (d = 0) whose stale origin sits
+                # inside a sphere would yield disc = -cq > 0 and t1 > 0 —
+                # a phantom hit the sibling paths' a > 1e-30 guards reject.
+                tc = jnp.where(valid_col & live, tc, BIG_T)
+                rid = g * gr + jax.lax.broadcasted_iota(
+                    jnp.int32, (gr, L), 0)
+                if packed:
+                    ik = ((jax.lax.bitcast_convert_type(tc, jnp.int32)
+                           & ~IDM) | rid)
+                    gmin_i = jnp.min(ik, axis=0, keepdims=True)
+                    obj_sc[:] = jnp.minimum(obj_sc[:], gmin_i)
+                else:
+                    gmin = jnp.min(tc, axis=0, keepdims=True)
+                    gobj = jnp.min(
+                        jnp.where(tc == gmin, rid, jnp.int32(0x7FFFFFFF)),
+                        axis=0, keepdims=True)
+                    better = gmin < t_sc[:]
+                    t_sc[:] = jnp.where(better, gmin, t_sc[:])
+                    obj_sc[:] = jnp.where(better, gobj, obj_sc[:])
+                return
+            sx = otab_ref[sl, GO_SX : GO_SX + 1]
+            sy = otab_ref[sl, GO_SY : GO_SY + 1]
+            sz = otab_ref[sl, GO_SZ : GO_SZ + 1]
+            if kind in ("a", "cy") and not with_edge:
+                # Rotation-structure cuboid fast paths (censused): 'a'
+                # slabs straight on the relative frame; 'cy' applies the
+                # 4 live entries of a y-rotation.  Bitwise-identical to
+                # the full transform (the skipped terms multiply exact
+                # zeros/ones — see the census comment).
+                if kind == "a":
+                    tc = _cub_t_div(rx, ry, rz, dx, dy, dz, sx, sy, sz)
+                else:
+                    r0 = otab_ref[sl, GO_RR00 + 0 : GO_RR00 + 1]
+                    r2 = otab_ref[sl, GO_RR00 + 2 : GO_RR00 + 3]
+                    r6 = otab_ref[sl, GO_RR00 + 6 : GO_RR00 + 7]
+                    r8 = otab_ref[sl, GO_RR00 + 8 : GO_RR00 + 9]
+                    tc = _cub_t_div(r0 * rx + r6 * rz, ry,
+                                    r2 * rx + r8 * rz,
+                                    r0 * dx + r6 * dz, dy,
+                                    r2 * dx + r8 * dz, sx, sy, sz)
+                tc = jnp.where(valid_col & live, tc, BIG_T)
                 rid = g * gr + jax.lax.broadcasted_iota(
                     jnp.int32, (gr, L), 0)
                 if packed:
@@ -532,9 +646,6 @@ def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
             ldx = r[0] * dx + r[3] * dy + r[6] * dz
             ldy = r[1] * dx + r[4] * dy + r[7] * dz
             ldz = r[2] * dx + r[5] * dy + r[8] * dz
-            sx = otab_ref[sl, GO_SX : GO_SX + 1]
-            sy = otab_ref[sl, GO_SY : GO_SY + 1]
-            sz = otab_ref[sl, GO_SZ : GO_SZ + 1]
             if kind == "e" and not with_edge:
                 tc = _ell_t_div(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz)
             elif kind == "c" and not with_edge:
@@ -554,7 +665,10 @@ def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
                 fx = ldx / sx
                 fy = ldy / sy
                 fz = ldz / sz
-        tc = jnp.where(valid_col, tc, BIG_T)
+        # live mask alongside valid: dead lanes (d = 0) must report no hit
+        # regardless of where their stale origin sits (the cuboid slab path
+        # otherwise yields a finite tmax ~ 1e12 for an origin inside a box).
+        tc = jnp.where(valid_col & live, tc, BIG_T)
         rid = g * gr + jax.lax.broadcasted_iota(jnp.int32, (gr, L), 0)
         if with_edge:
             # Silhouette-candidate metric in fused unit space: squared

@@ -24,8 +24,8 @@ megakernel (``01_BoundingVolumeHierarchy/computeShaderSrc.glsl:675-705``):
   - the bounce loop is a ``lax.while_loop`` whose condition is "any lane
     active, any flush pending, or any round left".
 
-Scope (asserted by the driver): single-focus perspective camera, no
-aa_grid.  Both scene modes are served — the sphere-mode MXU sweep
+Scope (asserted by the driver): perspective camera (single- or
+multi-focus — fd[s % K], K <= 7, the u_NumOfFocusDist path), no aa_grid.  Both scene modes are served — the sphere-mode MXU sweep
 (``kernels/sweep2``) and the generic rotated ellipsoid/cuboid grouped
 sweep (``kernels/sweep2g``, incl. the rotated-containment RI probe) —
 under either shading model: 'bvh' (INW shading, emissive lights with
@@ -64,6 +64,7 @@ from raytracing_tests_tpu.kernels.sweep2 import _interpret, make_accel2
     CAM_RX, CAM_RY, CAM_RZ, CAM_UX, CAM_UY, CAM_UZ,
     CAM_SD, CAM_AP, CAM_FD, CAM_STRIDE, CAM_ROW0, CAM_PAD,
 ) = range(18)
+CAM_FD2 = 18  # focus_dist[1:] lives at 18..23 (multi-focus, K <= 7)
 CAM_LEN = 24  # padded
 
 
@@ -76,7 +77,8 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                  n_pad, n_groups, gr, has_motion, has_dielectrics, Q,
                  B_total, use_mxu, max_iters, pops, mode="spheres",
                  n_lights=0, shading="bvh", order="sample", n_pgroups=0,
-                 tex_meta=None, n_sgroups=0, gkinds=None, tile=None):
+                 tex_meta=None, n_sgroups=0, gkinds=None, tile=None,
+                 n_focus=1):
     aspect = W / H
     # Queued-record width: o3, d3, contrib, bounced (+ medium, parent under
     # the materials shading — the per-ray medium-RI stack rides the record).
@@ -129,9 +131,9 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
         def raygen(p):
             """Primary ray for global lane index p ((1, L) i32) -> (16, L).
 
-            Transcribes ``ops.camera_rays.primary_rays`` (single-focus,
-            no aa_grid): unnormalized right/up screen basis + sunflower
-            thin-lens aperture pivoting about the focal point."""
+            Transcribes ``ops.camera_rays.primary_rays`` (no aa_grid):
+            unnormalized right/up screen basis + sunflower thin-lens
+            aperture pivoting about the per-sample focal point."""
             pix = p // spp
             s_i = p - pix * spp
             sf = s_i.astype(jnp.float32)
@@ -187,7 +189,17 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             offy = r * sth
             rrx, rry, rrz, rux, ruy, ruz = _cross_up(bdx, bdy, bdz)
 
-            fd = cam_ref[0, CAM_FD]
+            if n_focus == 1:
+                fd = cam_ref[0, CAM_FD]
+            else:
+                # Multi-focus: sample s focuses at focus_dist[s % K] — the
+                # reference's u_NumOfFocusDist kernel path (In-Next-Week/
+                # base.h:187-239, 01_BVH glsl:389-409 #if MULTIFOCUS),
+                # matching ops.camera_rays._dof_rays exactly.
+                fk = s_i - (s_i // n_focus) * n_focus
+                fd = jnp.full((1, L), 0.0, jnp.float32) + cam_ref[0, CAM_FD]
+                for j in range(1, n_focus):
+                    fd = jnp.where(fk == j, cam_ref[0, CAM_FD2 + j - 1], fd)
             px_, py_, pz_ = cam_ref[0, CAM_PX], cam_ref[0, CAM_PY], cam_ref[0, CAM_PZ]
             tipx = px_ + bdx + rrx * offx + rux * offy
             tipy = py_ + bdy + rry * offx + ruy * offy
@@ -523,7 +535,8 @@ def pack_lights(lights):
 
 
 def pack_camera(camera, row_stride=1.0, row0=0.0):
-    """Camera pytree -> (1, CAM_LEN) f32 scalar vector (see CAM_* layout)."""
+    """Camera pytree -> (1, CAM_LEN) f32 scalar vector (see CAM_* layout).
+    ``focus_dist[1:]`` (multi-focus, K <= 7) rides the tail at CAM_FD2+."""
     d = camera.direction
     up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
     right = jnp.cross(d, up)  # unnormalized, faithful to the reference
@@ -535,6 +548,7 @@ def pack_camera(camera, row_stride=1.0, row0=0.0):
                    jnp.asarray(row_stride, jnp.float32),
                    jnp.asarray(row0, jnp.float32),
                    jnp.zeros((), jnp.float32)]),
+        camera.focus_dist[1:7],
     ])
     return jnp.pad(vals, (0, CAM_LEN - vals.shape[0])).reshape(
         1, CAM_LEN).astype(jnp.float32)
@@ -544,11 +558,12 @@ def pack_camera(camera, row_stride=1.0, row0=0.0):
     jax.jit,
     static_argnames=("cfg", "B", "L", "R", "gr", "use_mxu", "full_height",
                      "n_lights", "order", "tex_meta", "n_sgroups",
-                     "gkinds", "tile"))
+                     "gkinds", "tile", "n_focus"))
 def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
                gr: int, use_mxu: bool, full_height: int = 0, lts=None,
                n_lights: int = 0, order: str = "sample", tex3=None,
-               tex_meta=None, n_sgroups: int = 0, gkinds=None, tile=None):
+               tex_meta=None, n_sgroups: int = 0, gkinds=None, tile=None,
+               n_focus: int = 1):
     from raytracing_tests_tpu.kernels.sweep2 import PROBE_GR
 
     fhi, fmid, flo = ftab3
@@ -576,7 +591,7 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
         use_mxu=use_mxu, max_iters=max_iters, pops=cfg.pops,
         mode=cfg.pallas_mode, n_lights=n_lights, shading=cfg.shading,
         order=order, n_pgroups=n_pgroups, tex_meta=tex_meta,
-        n_sgroups=n_sgroups, gkinds=gkinds, tile=tile)
+        n_sgroups=n_sgroups, gkinds=gkinds, tile=tile, n_focus=n_focus)
     lane_spec = lambda rows: pl.BlockSpec((rows, L), lambda i: (0, i),
                                           memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
@@ -648,7 +663,8 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
         assert lights is None, "materials shading: no emissive lights"
     assert not cfg.aa_grid, "uber path: DOF sampling only (no aa_grid)"
     assert not cfg.show_normals
-    assert camera.focus_dist.shape[0] == 1, "uber path: single focus"
+    n_focus = camera.focus_dist.shape[0]  # multi-focus: fd[s % K] in raygen
+    assert n_focus <= 7, "uber path: K <= 7 focus dists (CAM_LEN tail)"
     _assert_perspective(camera)
     lts, n_lights = pack_lights(lights)
     if scene.textures is not None:
@@ -674,9 +690,11 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
         assert order == "sample" and W % tw == 0 and H % th == 0, (
             tile, W, H, order)
     # Cut the surrounding-RI probe table to the rows that can actually
-    # contain a probe point (sweep2.probe_relevant_rows — exact consumer
-    # reachability; the full ri != 1 table was 61 groups on the headline
-    # scene, of which ~3 can ever answer).  Traced scenes keep everything.
+    # contain a probe point (sweep2.probe_relevant_rows — a conservative
+    # consumer-reachability cut; see its docstring for the reflect-epsilon
+    # and camera-in-air caveats.  The full ri != 1 table was 61 groups on
+    # the headline scene, of which ~3 can ever answer).  Traced scenes
+    # keep everything.
     from raytracing_tests_tpu.kernels.sweep2 import probe_relevant_rows
 
     probe_rows, probe_mask = cfg.probe_rows, None
@@ -701,7 +719,7 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
                                tex_meta=tex_meta,
                                n_sgroups=getattr(accel, "n_sgroups", 0),
                                gkinds=getattr(accel, "gkinds", None),
-                               tile=tile)
+                               tile=tile, n_focus=n_focus)
     if order == "pixel":
         # out: (4*NPIX, NB*L) per-pixel sums of gamma'd samples (+ the mid
         # sample's depth in channel 3).  Global column j's first primary is

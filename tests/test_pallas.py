@@ -486,7 +486,9 @@ def test_uber_generic_supergroups_and_kinds():
     scene, cam = examples.bvh_grid_scene(side=12)
     accel = make_accel2g(scene, gr=16)
     assert accel.n_sgroups >= 2, accel.n_sgroups  # super level formed
-    assert accel.gkinds is not None and "m" in "".join(accel.gkinds)
+    # Type-pure grouping: no mixed bodies on this scene, several kinds.
+    assert accel.gkinds is not None and "m" not in accel.gkinds
+    assert len(set(accel.gkinds)) >= 2, accel.gkinds
     cfg = RenderConfig(width=40, height=24, spp=2, max_bounces=4,
                        intersector="pallas").for_scene(scene)
     oq = jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, cam)
@@ -528,3 +530,70 @@ def test_uber_partial_final_block_and_drop_accounting():
     o2 = render_uber(s2, c2, cfg2, L=256, R=3, gr=16, qcap=1)
     assert int(o2["rays_dropped"]) > 0  # overflow is visible, not silent
     assert np.isnan(np.asarray(o2["image"])).sum() == 0
+
+
+def test_uber_multifocus_matches_queue():
+    """Multi-focus (K=3) in the persistent kernel's raygen: sample s
+    focuses at focus_dist[s % K] (the reference's u_NumOfFocusDist kernel
+    path, In-Next-Week/base.h:187-239, 01_BVH glsl:389-409).  Same
+    statistical bar as the single-focus test — and a guard that the K=3
+    image actually DIFFERS from the K=1 render (the aperture is wide, so
+    defocused samples must move pixels)."""
+    import jax
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import render_stats
+
+    scene, _ = examples.materials_scene()
+    cam = examples.Camera.make((0.0, 0.7, 1.2), (0.0, -0.2, -1.0),
+                               fov_y_deg=60.0, aperture=0.35,
+                               focus_dist=(2.2, 3.6, 6.0))
+    cfg = RenderConfig(width=48, height=32, spp=6, max_bounces=5,
+                       intersector="pallas").for_scene(scene)
+    oq = jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, cam)
+    ou = render_uber(scene, cam, cfg, L=256, R=8, gr=16)
+    iq, iu = np.asarray(oq["image"]), np.asarray(ou["image"])
+    assert abs(float(iq.mean()) - float(iu.mean())) < 5e-3
+    assert (np.abs(iq - iu).max(axis=-1) > 0.05).mean() < 0.03
+    rq, ru = int(oq["rays"]), int(ou["rays"])
+    assert abs(rq - ru) / rq < 0.02, (rq, ru)
+    assert int(ou["rays_dropped"]) == 0
+
+    cam1 = examples.Camera.make((0.0, 0.7, 1.2), (0.0, -0.2, -1.0),
+                                fov_y_deg=60.0, aperture=0.35,
+                                focus_dist=2.2)
+    o1 = render_uber(scene, cam1, cfg, L=256, R=8, gr=16)
+    assert float(np.abs(np.asarray(o1["image"]) - iu).max()) > 0.02
+
+
+def test_generic_census_rotation_kinds():
+    """Coarse-Morton type packing + rotation-structure census: the R-grid
+    scene (unrotated spheres, y-rotated cubes, axis-aligned ground box)
+    must census into 's' / 'cy' / 'a' groups — no mixed bodies — and the
+    packing must not change the rendered image beyond the statistical
+    envelope (same primaries, same oracle arithmetic per row)."""
+    import os
+
+    import jax
+
+    from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
+    from raytracing_tests_tpu.kernels.uber import render_uber
+
+    scene, cam = examples.bvh_grid_scene(side=6)
+    acc = make_accel2g(scene, gr=16, sort_origin=cam.position)
+    kinds = set(acc.gkinds)
+    assert "m" not in kinds, acc.gkinds  # pure groups only on this scene
+    assert "s" in kinds and ("cy" in kinds or "a" in kinds), acc.gkinds
+
+    cfg = RenderConfig(width=48, height=32, spp=4, max_bounces=5,
+                       intersector="pallas").for_scene(scene)
+    o_c = render_uber(scene, cam, cfg, L=256, R=8, gr=16)
+    os.environ["UBER_TPACK"] = "global"
+    try:
+        o_g = render_uber(scene, cam, cfg, L=256, R=8, gr=16)
+    finally:
+        del os.environ["UBER_TPACK"]
+    ic, ig = np.asarray(o_c["image"]), np.asarray(o_g["image"])
+    assert abs(float(ic.mean()) - float(ig.mean())) < 5e-3
+    assert (np.abs(ic - ig).max(axis=-1) > 0.05).mean() < 0.03
+    assert int(o_c["rays"]) == int(o_g["rays"])
