@@ -204,19 +204,24 @@ def make_accel2g(scene: Scene, gr: int = 64, has_motion: bool = True,
     size = jnp.max(hi_v - lo_v, axis=-1) / jnp.max(sext)
     huge = (size > 0.5) & valid
     codes = jnp.where(valid, codes >> jnp.uint32(2), jnp.uint32(0x3FFFFFFF))
-    # TYPE-PURE grouping: walk the Morton order accumulating per-type
-    # pending runs; a group is emitted whenever a run reaches ``gr`` rows
-    # (huge objects lead in their own groups; partial runs emit padded
-    # with dead rows).  Every group is then a SINGLE primitive type (the
-    # census below can pick the cheap specialized body — the mixed body
-    # is ~1.7x a pure one) while its members stay Morton-ADJACENT within
-    # their type, so group AABBs keep near-mixed tightness.  The round-3
+    # TYPE-PURE grouping: chunk each primitive CLASS (ellipsoid / cuboid)
+    # into full groups of ``gr`` along its own Morton order, then MERGE
+    # the two partial tails into one mixed group when they fit together —
+    # so the group count never exceeds plain Morton chunking (a 3-object
+    # scene stays ONE group; the first greedy packer split it into 2-3,
+    # costing small scenes ~15%).  Full groups are SINGLE-type (the
+    # census below picks the cheap specialized body — the mixed body is
+    # ~1.7x a pure one) while members stay Morton-ADJACENT within their
+    # class, so group AABBs keep near-mixed tightness.  The round-3
     # GLOBAL (huge, type, morton) key lost that tightness on alternating
     # scenes: a checkerboard grid's 64 same-type Morton neighbours span
     # ~128 cells, doubling every group AABB (measured 13.2/17 groups
-    # entered per iteration on bvh1k).  UBER_TPACK=global restores that
-    # key; =none disables type packing; traced scenes fall back to plain
-    # Morton (their census is None — mixed bodies — so packing is moot).
+    # entered per iteration on bvh1k).  Huge objects go LAST within their
+    # class so they land in the tail group (a world-size AABB must not
+    # make a full regular group always-entered).  UBER_TPACK=global
+    # restores the round-3 key; =none disables type packing; traced
+    # scenes fall back to plain Morton (their census is None — mixed
+    # bodies — so packing is moot).
     import os as _os1
     tpack = _os1.environ.get("UBER_TPACK", "pure")
     cub = (scene.obj_type != geometry.ELLIPSOID) & valid & ~huge
@@ -234,23 +239,29 @@ def make_accel2g(scene: Scene, gr: int = 64, has_motion: bool = True,
             v_np = np.asarray(valid)
             h_np = np.asarray(huge)
             c_np = np.asarray(cub)
+            # Class by RAW type (``cub`` excludes huge rows, but a huge box
+            # must still ride the cuboid class for a pure census).
+            isc_np = np.asarray(
+                (scene.obj_type != geometry.ELLIPSOID)) & v_np
             groups = []
-            hrun = [int(i) for i in morder if v_np[i] and h_np[i]]
-            for k0 in range(0, len(hrun), gr):
-                groups.append(hrun[k0 : k0 + gr])
-            pend = {False: [], True: []}
+            cls = {(False, False): [], (False, True): [],
+                   (True, False): [], (True, True): []}
             for i in morder:
                 i = int(i)
-                if not v_np[i] or h_np[i]:
-                    continue
-                b = pend[bool(c_np[i])]
-                b.append(i)
-                if len(b) == gr:
-                    groups.append(b[:])
-                    b.clear()
-            for b in (pend[False], pend[True]):
-                if b:
-                    groups.append(b)
+                if v_np[i]:
+                    cls[bool(isc_np[i]), bool(h_np[i])].append(i)
+            tails = []
+            for is_cub in (False, True):
+                cl = cls[is_cub, False] + cls[is_cub, True]  # huge last
+                nf = len(cl) // gr
+                for k0 in range(0, nf * gr, gr):
+                    groups.append(cl[k0 : k0 + gr])
+                if len(cl) > nf * gr:
+                    tails.append(cl[nf * gr :])
+            if len(tails) == 2 and len(tails[0]) + len(tails[1]) <= gr:
+                groups.append(tails[0] + tails[1])  # one mixed tail group
+            else:
+                groups.extend(tails)
             if not groups:  # degenerate all-invalid scene
                 groups = [[0]]
             rows, lv = [], []
@@ -443,6 +454,33 @@ def _cub_t_div(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz):
     return jnp.where(t_c > 0.0, t_c, BIG_T)
 
 
+def _cub_t_inf(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz):
+    """Cuboid slab t with a BARE reciprocal — bitwise-identical to
+    ``_cub_t_div`` on every lane with |ld| >= 1e-12 per axis (1/ld is the
+    same bits once ld_safe == ld), and IEEE-cleaner below it: 1/0 = +-inf
+    gives the exact parallel-ray slab semantics ([-inf, inf] inside the
+    slab, empty outside) where the eps-clamp manufactured +-1e12 phantom
+    bounds.  The only loss: an origin EXACTLY on a slab plane of a
+    parallel ray (0 * inf = NaN) reports miss — measure-zero, and the
+    NaN propagates to ``tmax > tmin`` = False, never into the image.
+    Saves the abs/compare/select per axis (~20% of a censused cuboid
+    body); ``UBER_ABLATE=safeinv`` restores the clamped form for A/B."""
+
+    def axis(lo, ld, s):
+        inv = 1.0 / ld
+        u = (-0.5 * s - lo) * inv
+        w = (0.5 * s - lo) * inv
+        return jnp.minimum(u, w), jnp.maximum(u, w)
+
+    n1, x1 = axis(lox, ldx, sx)
+    n2, x2 = axis(loy, ldy, sy)
+    n3, x3 = axis(loz, ldz, sz)
+    tmin = jnp.maximum(jnp.maximum(n1, n2), n3)
+    tmax = jnp.minimum(jnp.minimum(x1, x2), x3)
+    t_c = jnp.where(tmax > tmin, jnp.where(tmin > 0.0, tmin, tmax), BIG_T)
+    return jnp.where(t_c > 0.0, t_c, BIG_T)
+
+
 def _both_t_exact(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz):
     """Ellipsoid AND cuboid t, oracle arithmetic (see the two halves)."""
     return (_ell_t_div(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz),
@@ -604,6 +642,7 @@ def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
             sx = otab_ref[sl, GO_SX : GO_SX + 1]
             sy = otab_ref[sl, GO_SY : GO_SY + 1]
             sz = otab_ref[sl, GO_SZ : GO_SZ + 1]
+            _cub_t_k = _cub_t_div if "safeinv" in _abl else _cub_t_inf
             if kind in ("a", "cy") and not with_edge:
                 # Rotation-structure cuboid fast paths (censused): 'a'
                 # slabs straight on the relative frame; 'cy' applies the
@@ -611,16 +650,16 @@ def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
                 # the full transform (the skipped terms multiply exact
                 # zeros/ones — see the census comment).
                 if kind == "a":
-                    tc = _cub_t_div(rx, ry, rz, dx, dy, dz, sx, sy, sz)
+                    tc = _cub_t_k(rx, ry, rz, dx, dy, dz, sx, sy, sz)
                 else:
                     r0 = otab_ref[sl, GO_RR00 + 0 : GO_RR00 + 1]
                     r2 = otab_ref[sl, GO_RR00 + 2 : GO_RR00 + 3]
                     r6 = otab_ref[sl, GO_RR00 + 6 : GO_RR00 + 7]
                     r8 = otab_ref[sl, GO_RR00 + 8 : GO_RR00 + 9]
-                    tc = _cub_t_div(r0 * rx + r6 * rz, ry,
-                                    r2 * rx + r8 * rz,
-                                    r0 * dx + r6 * dz, dy,
-                                    r2 * dx + r8 * dz, sx, sy, sz)
+                    tc = _cub_t_k(r0 * rx + r6 * rz, ry,
+                                  r2 * rx + r8 * rz,
+                                  r0 * dx + r6 * dz, dy,
+                                  r2 * dx + r8 * dz, sx, sy, sz)
                 tc = jnp.where(valid_col & live, tc, BIG_T)
                 rid = g * gr + jax.lax.broadcasted_iota(
                     jnp.int32, (gr, L), 0)
@@ -649,7 +688,7 @@ def _sweep_loop_g(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
             if kind == "e" and not with_edge:
                 tc = _ell_t_div(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz)
             elif kind == "c" and not with_edge:
-                tc = _cub_t_div(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz)
+                tc = _cub_t_k(lox, loy, loz, ldx, ldy, ldz, sx, sy, sz)
             else:
                 t_e, t_c = _both_t_exact(
                     lox, loy, loz, ldx, ldy, ldz, sx, sy, sz)

@@ -26,10 +26,13 @@ def main():
     gr = int(sys.argv[4]) if len(sys.argv) > 4 else 64
     side = int(sys.argv[5]) if len(sys.argv) > 5 else 32
     s, c = examples.bvh_grid_scene(side=side)
-    cfg = RenderConfig(width=800, height=450, spp=16, max_bounces=8,
+    mb = int(os.environ.get("UBER_MB", "8"))  # divergence probe: fewer
+    # bounces -> fewer scattered secondaries -> tighter group culling
+    cfg = RenderConfig(width=800, height=450, spp=16, max_bounces=mb,
                        intersector="pallas").for_scene(s)
+    qcap = int(os.environ.get("UBER_QCAP", "3"))
     run2(f"bvh{side * side} {tag} L{L} R{R} gr{gr}",
-         lambda: render_uber(s, c, cfg, L=L, R=R, gr=gr, qcap=3), L)
+         lambda: render_uber(s, c, cfg, L=L, R=R, gr=gr, qcap=qcap), L)
 
 
 if __name__ == "__main__":

@@ -582,7 +582,9 @@ def test_generic_census_rotation_kinds():
     scene, cam = examples.bvh_grid_scene(side=6)
     acc = make_accel2g(scene, gr=16, sort_origin=cam.position)
     kinds = set(acc.gkinds)
-    assert "m" not in kinds, acc.gkinds  # pure groups only on this scene
+    # Full groups are type-pure; the two partial tails merge into at most
+    # ONE mixed group (group count never exceeds plain Morton chunking).
+    assert sum(k == "m" for k in acc.gkinds) <= 1, acc.gkinds
     assert "s" in kinds and ("cy" in kinds or "a" in kinds), acc.gkinds
 
     cfg = RenderConfig(width=48, height=32, spp=4, max_bounces=5,
@@ -597,3 +599,43 @@ def test_generic_census_rotation_kinds():
     assert abs(float(ic.mean()) - float(ig.mean())) < 5e-3
     assert (np.abs(ic - ig).max(axis=-1) > 0.05).mean() < 0.03
     assert int(o_c["rays"]) == int(o_g["rays"])
+
+
+def test_cuboid_fastinv_matches_safeinv():
+    """The bare-reciprocal slab (``_cub_t_inf``) must be BITWISE-identical
+    to the safe-inverse form on scenes without axis-parallel degenerate
+    lanes (1/ld is the same bits wherever |ld| >= 1e-12): same image, same
+    ray count.  Also pins the parallel-ray semantics: a ray with an exact
+    zero direction component must still hit a box it faces (the +-inf
+    slab interval), not phantom-miss."""
+    import os
+
+    import jax
+
+    from raytracing_tests_tpu.kernels.sweep2g import _cub_t_inf
+    from raytracing_tests_tpu.kernels.uber import render_uber
+
+    scene, cam = examples.bvh_grid_scene(side=6)
+    cfg = RenderConfig(width=40, height=24, spp=2, max_bounces=5,
+                       intersector="pallas").for_scene(scene)
+    o_f = render_uber(scene, cam, cfg, L=256, R=6, gr=16)
+    os.environ["UBER_ABLATE"] = "safeinv"
+    try:
+        o_s = render_uber(scene, cam, cfg, L=256, R=6, gr=16)
+    finally:
+        del os.environ["UBER_ABLATE"]
+    assert float(np.abs(np.asarray(o_f["image"])
+                        - np.asarray(o_s["image"])).max()) == 0.0
+    assert int(o_f["rays"]) == int(o_s["rays"])
+
+    # Axis-parallel ray straight at a unit box: dz-only direction (dx =
+    # dy = 0 exactly) -> inv = +-inf on x/y; origin inside the x/y slabs.
+    t = _cub_t_inf(*[jnp.full((1, 4), v, jnp.float32) for v in
+                     (0.1, 0.2, -3.0,  0.0, 0.0, 1.0)],
+                   jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(t)[0], 2.5, rtol=1e-6)
+    # Same ray OUTSIDE the x slab: empty interval -> miss.
+    t2 = _cub_t_inf(*[jnp.full((1, 4), v, jnp.float32) for v in
+                      (2.0, 0.2, -3.0,  0.0, 0.0, 1.0)],
+                    jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0))
+    assert float(np.asarray(t2).min()) > 1e30
