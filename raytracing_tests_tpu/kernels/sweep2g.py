@@ -205,14 +205,14 @@ def make_accel2g(scene: Scene, gr: int = 64, has_motion: bool = True,
     huge = (size > 0.5) & valid
     codes = jnp.where(valid, codes >> jnp.uint32(2), jnp.uint32(0x3FFFFFFF))
     # TYPE-PURE grouping: chunk each primitive CLASS (ellipsoid / cuboid)
-    # into full groups of ``gr`` along its own Morton order, then MERGE
-    # the two partial tails into one mixed group when they fit together —
-    # so the group count never exceeds plain Morton chunking (a 3-object
-    # scene stays ONE group; the first greedy packer split it into 2-3,
-    # costing small scenes ~15%).  Full groups are SINGLE-type (the
-    # census below picks the cheap specialized body — the mixed body is
-    # ~1.7x a pure one) while members stay Morton-ADJACENT within their
-    # class, so group AABBs keep near-mixed tightness.  The round-3
+    # into groups of ``gr`` along its own Morton order — EVERY group is
+    # single-type (the census below picks the cheap specialized body).
+    # Partial tails stay pure on purpose: merging the two tails into one
+    # mixed group was A/B'd on the lights scene and LOST (16.7 vs 18.6+
+    # Mrays/s) — the mixed body runs BOTH primitives' arithmetic over
+    # all gr rows, which costs more than an extra pure body + branch.
+    # Members stay Morton-ADJACENT within their class, so group AABBs
+    # keep near-mixed tightness.  The round-3
     # GLOBAL (huge, type, morton) key lost that tightness on alternating
     # scenes: a checkerboard grid's 64 same-type Morton neighbours span
     # ~128 cells, doubling every group AABB (measured 13.2/17 groups
@@ -250,18 +250,10 @@ def make_accel2g(scene: Scene, gr: int = 64, has_motion: bool = True,
                 i = int(i)
                 if v_np[i]:
                     cls[bool(isc_np[i]), bool(h_np[i])].append(i)
-            tails = []
             for is_cub in (False, True):
                 cl = cls[is_cub, False] + cls[is_cub, True]  # huge last
-                nf = len(cl) // gr
-                for k0 in range(0, nf * gr, gr):
+                for k0 in range(0, len(cl), gr):
                     groups.append(cl[k0 : k0 + gr])
-                if len(cl) > nf * gr:
-                    tails.append(cl[nf * gr :])
-            if len(tails) == 2 and len(tails[0]) + len(tails[1]) <= gr:
-                groups.append(tails[0] + tails[1])  # one mixed tail group
-            else:
-                groups.extend(tails)
             if not groups:  # degenerate all-invalid scene
                 groups = [[0]]
             rows, lv = [], []

@@ -31,8 +31,10 @@ def main():
     cfg = RenderConfig(width=800, height=450, spp=16, max_bounces=mb,
                        intersector="pallas").for_scene(s)
     qcap = int(os.environ.get("UBER_QCAP", "3"))
+    order = os.environ.get("UBER_ORDER", "sample")
     run2(f"bvh{side * side} {tag} L{L} R{R} gr{gr}",
-         lambda: render_uber(s, c, cfg, L=L, R=R, gr=gr, qcap=qcap), L)
+         lambda: render_uber(s, c, cfg, L=L, R=R, gr=gr, qcap=qcap,
+                             order=order), L)
 
 
 if __name__ == "__main__":

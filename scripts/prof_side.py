@@ -37,7 +37,11 @@ def main():
         s, c = examples.motion_blur_scene()
     elif which == "lights":
         s, c = examples.lights_scene()
-        lights = extract_lights(s)
+        # UBER_NOLIGHTS=1: timing decomposition — drop the emissive list
+        # (no shadow sweeps, no paint-it-white abort).  Image is wrong;
+        # the delta vs the lit run isolates the per-light cost.
+        if not int(os.environ.get("UBER_NOLIGHTS", "0")):
+            lights = extract_lights(s)
     elif which == "materials":
         s, c = examples.materials_scene()
         kw["shading"] = "materials"
@@ -49,9 +53,10 @@ def main():
     cfg = RenderConfig(width=800, height=450, spp=spp, max_bounces=8,
                        intersector="pallas", **kw).for_scene(s)
     qcap = None if which == "materials" else 3
+    order = os.environ.get("UBER_ORDER", "sample")
     run2(f"{which} {tag} L{L} R{R} gr{gr}",
          lambda: render_uber(s, c, cfg, lights=lights, L=L, R=R, gr=gr,
-                             qcap=qcap), L)
+                             qcap=qcap, order=order), L)
 
 
 if __name__ == "__main__":
