@@ -78,7 +78,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                  B_total, use_mxu, max_iters, pops, mode="spheres",
                  n_lights=0, shading="bvh", order="sample", n_pgroups=0,
                  tex_meta=None, n_sgroups=0, gkinds=None, tile=None,
-                 n_focus=1):
+                 n_focus=1, rot_stride=0):
     aspect = W / H
     # Queued-record width: o3, d3, contrib, bounced (+ medium, parent under
     # the materials shading — the per-ray medium-RI stack rides the record).
@@ -223,9 +223,23 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             return new16, cth, sth
 
         def pof(kk):
-            """Global primary index of round ``kk`` ((1, L) i32)."""
+            """Global primary index of round ``kk`` ((1, L) i32).
+
+            Sample order applies a per-round LANE ROTATION: round kk maps
+            lane j to primary base + kk*L + ((j + kk*ROT) mod L).  A lane
+            is otherwise pinned to a fixed image-column family (stride L
+            = W*spp/stride columns), so lanes aligned with expensive
+            columns (glass, deep trees) accumulate long trees EVERY round
+            — measured as the drain factor (lights x1.78, materials
+            x1.37).  The rotation is a bijection WITHIN each round's
+            primary window, so per-round slab-cull coherence is untouched
+            and the host unrotates the output tile with one static
+            gather; images are bit-identical (UBER_ROT=0 disables)."""
             if order == "pixel":
                 return lane0 + kk
+            if rot_stride:
+                return base + kk * L + ((lane_iota + kk * rot_stride)
+                                        & (L - 1))
             return base + kk * L + lane_iota
 
         def body(carry):
@@ -558,12 +572,12 @@ def pack_camera(camera, row_stride=1.0, row0=0.0):
     jax.jit,
     static_argnames=("cfg", "B", "L", "R", "gr", "use_mxu", "full_height",
                      "n_lights", "order", "tex_meta", "n_sgroups",
-                     "gkinds", "tile", "n_focus"))
+                     "gkinds", "tile", "n_focus", "rot_stride"))
 def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
                gr: int, use_mxu: bool, full_height: int = 0, lts=None,
                n_lights: int = 0, order: str = "sample", tex3=None,
                tex_meta=None, n_sgroups: int = 0, gkinds=None, tile=None,
-               n_focus: int = 1):
+               n_focus: int = 1, rot_stride: int = 0):
     from raytracing_tests_tpu.kernels.sweep2 import PROBE_GR
 
     fhi, fmid, flo = ftab3
@@ -591,7 +605,8 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
         use_mxu=use_mxu, max_iters=max_iters, pops=cfg.pops,
         mode=cfg.pallas_mode, n_lights=n_lights, shading=cfg.shading,
         order=order, n_pgroups=n_pgroups, tex_meta=tex_meta,
-        n_sgroups=n_sgroups, gkinds=gkinds, tile=tile, n_focus=n_focus)
+        n_sgroups=n_sgroups, gkinds=gkinds, tile=tile, n_focus=n_focus,
+        rot_stride=rot_stride)
     lane_spec = lambda rows: pl.BlockSpec((rows, L), lambda i: (0, i),
                                           memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
@@ -713,13 +728,22 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
                              sort_origin=camera.position,
                              probe_rows=probe_rows, probe_mask=probe_mask)
     cam = pack_camera(camera)
+    # Per-round lane rotation (see pof): decorrelates lanes from image
+    # columns so no lane is pinned to an expensive column family every
+    # round (lights drain x1.78 -> ~1.1).  Bijective within each round —
+    # zero cull-coherence cost; host unrotates with one static gather.
+    rot_stride = 0
+    if (order == "sample" and (L & (L - 1)) == 0
+            and _os.environ.get("UBER_ROT", "1") != "0"):
+        rot_stride = 997
     out, stat, NB = _uber_call(accel.otab, accel.ftab3, accel.gaabb, cam,
                                cfg, B, L, R, gr, use_mxu, lts=lts,
                                n_lights=n_lights, order=order, tex3=tex3,
                                tex_meta=tex_meta,
                                n_sgroups=getattr(accel, "n_sgroups", 0),
                                gkinds=getattr(accel, "gkinds", None),
-                               tile=tile, n_focus=n_focus)
+                               tile=tile, n_focus=n_focus,
+                               rot_stride=rot_stride)
     if order == "pixel":
         # out: (4*NPIX, NB*L) per-pixel sums of gamma'd samples (+ the mid
         # sample's depth in channel 3).  Global column j's first primary is
@@ -740,8 +764,16 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
             "depth": depth.reshape(H, W),
         }
     else:
-        o4 = out.reshape(4, R, NB, L).transpose(2, 1, 3, 0).reshape(
-            NB * R * L, 4)
+        o4 = out.reshape(4, R, NB, L)
+        if rot_stride:
+            # Unrotate the per-round lane rotation (see pof): round k's
+            # column j holds primary lane (j + k*rot) mod L — one static
+            # gather restores p-linear order before the reshape below.
+            idx = ((np.arange(L)[None, :] - np.arange(R)[:, None]
+                    * rot_stride) % L).astype(np.int32)
+            o4 = jnp.take_along_axis(
+                o4, jnp.asarray(idx)[None, :, None, :], axis=3)
+        o4 = o4.transpose(2, 1, 3, 0).reshape(NB * R * L, 4)
         o4 = o4[:B]
         colors3 = o4[:, :3].reshape(H, W, S, 3)  # kernel pixel order
         primary_t = o4[:, 3].reshape(H, W, S)
