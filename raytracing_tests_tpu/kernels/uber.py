@@ -732,9 +732,13 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     # columns so no lane is pinned to an expensive column family every
     # round (lights drain x1.78 -> ~1.1).  Bijective within each round —
     # zero cull-coherence cost; host unrotates with one static gather.
+    # Default: on when spp <= 32 (fact 34 — at spp = 100 a lane's pixel
+    # advances every ~20 rounds anyway and the rotation measured iters
+    # +1.7%); UBER_ROT=1/0 forces either way.
+    rot_env = _os.environ.get("UBER_ROT", "")
     rot_stride = 0
     if (order == "sample" and (L & (L - 1)) == 0
-            and _os.environ.get("UBER_ROT", "1") != "0"):
+            and (rot_env == "1" or (rot_env != "0" and cfg.spp <= 32))):
         rot_stride = 997
     out, stat, NB = _uber_call(accel.otab, accel.ftab3, accel.gaabb, cam,
                                cfg, B, L, R, gr, use_mxu, lts=lts,
