@@ -158,22 +158,22 @@ def side_configs(chunk):
         intersector="pallas", **kw,
     ).for_scene(scene)
     out = {}
-    # Motion: the queue renderer wins on this small scene (38.6 vs 23.0
-    # Mrays/s on-chip, identical image + honest ray count post the
-    # bf16-split fix) — few objects means the persistent kernel's queue
-    # machinery dominates while the chunked XLA loop streams cheaply.
+    # Motion: the queue renderer wins on this small scene (38.6 vs 25.6
+    # Mrays/s for the best-tuned uber variant, round-4 in-process ladder)
+    # — the persistent kernel's fixed per-iteration path dominates
+    # 1-group scenes; see PERFORMANCE.md "small-scene crossover".
     s, c = examples.motion_blur_scene()
     out["motion"] = (s, c, mk(s), None, "queue")
     s, c = examples.bvh_grid_scene(side=32)  # 1,025 objects, generic mode
     out["bvh1k"] = (s, c, mk(s), None, "uber")  # persistent generic kernel
-    # Texturing: L=1024 — the VMEM-resident atlas splits + the sampler's
-    # weighted one-hots put the L=2048 variant ~1.8M over the 16M scoped
-    # limit; 17.5 vs 8.28 Mrays/s on the queue path at L=1024.
+    # Texturing: L=1024 (L=2048 with the VMEM-resident atlas splits OOMs
+    # scoped VMEM); R=64 won the round-4 in-process ladder (21.3 vs 18.7
+    # at R=96 — the flush tile scales with R, fact 32).
     s, c = examples.texturing_scene()
-    out["texturing"] = (s, c, mk(s), None, ("uber", 96, 1024))
-    # Lights: R=64 — the in-kernel shadow sweep's extra scratch puts the
-    # R=96 variant 1.1M over the 16M scoped-VMEM limit (measured 24.7
-    # Mrays/s at R=64 vs 20.3 on the queue renderer).
+    out["texturing"] = (s, c, mk(s), None, ("uber", 64, 1024))
+    # Lights: R=64 (R=96 is near the scoped-VMEM limit and measured 35%
+    # slower at the same iteration count; round-4 ladder: R64 > R96 >
+    # R48).  The spp<=32 lane rotation cuts the drain x1.78 -> x1.25.
     s, c = examples.lights_scene()
     out["lights"] = (s, c, mk(s), extract_lights(s), ("uber", 64))
     # Extra (beyond BASELINE.json's five): the IOW-03 materials shading

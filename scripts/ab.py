@@ -77,7 +77,7 @@ def main():
 
     def make(kw):
         kw = dict(kw)
-        rot = kw.pop("rot", 1)
+        rot = kw.pop("rot", "")  # default: render_uber's spp gate
         os.environ["UBER_ROT"] = str(rot)
         try:
             return render_uber(
