@@ -225,8 +225,10 @@ def main():
                     srend = (srend,)
                 srend, R, L = srend + ((96, 2048), (2048,), ())[len(srend) - 1]
                 try:
+                    # min-of-4: the tunnel's dispatch weather is bimodal
+                    # (PERFORMANCE.md facts 24/37) — 2 frames undersample.
                     details["configs"][name] = time_config(
-                        s, c, scfg, srend, chunk, lights=lights, n_iters=2,
+                        s, c, scfg, srend, chunk, lights=lights, n_iters=4,
                         R=R, L=L)
                 except Exception as e:  # record, keep the sweep going
                     details["configs"][name] = {
