@@ -24,8 +24,10 @@ megakernel (``01_BoundingVolumeHierarchy/computeShaderSrc.glsl:675-705``):
   - the bounce loop is a ``lax.while_loop`` whose condition is "any lane
     active, any flush pending, or any round left".
 
-Scope (asserted by the driver): perspective camera (single- or
-multi-focus — fd[s % K], K <= 7, the u_NumOfFocusDist path), no aa_grid.  Both scene modes are served — the sphere-mode MXU sweep
+Scope: perspective OR orthographic camera (static trace-time branch),
+single- or multi-focus (fd[s % K], K <= 7, the u_NumOfFocusDist path),
+DOF sunflower or IOW-02 aa_grid supersampling (static jitter table in
+raygen).  Both scene modes are served — the sphere-mode MXU sweep
 (``kernels/sweep2``) and the generic rotated ellipsoid/cuboid grouped
 sweep (``kernels/sweep2g``, incl. the rotated-containment RI probe) —
 under either shading model: 'bvh' (INW shading, emissive lights with
@@ -34,7 +36,7 @@ in-kernel shadow-ray sweeps + the paint-it-white abort) or 'materials'
 shift, fibonacci-hemisphere scatter), with cube-sphere atlas texturing
 in-kernel (``kernels/texture``: factored one-hot MXU gathers — the
 sampler-array of 03_Texturing glsl:9-10).  ``ops.render`` remains the
-general path (orthographic/multi-focus cameras, aa_grid, normals view).
+general path (normals view; traced orthographic cameras).
 """
 
 from __future__ import annotations
@@ -78,7 +80,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                  B_total, use_mxu, max_iters, pops, mode="spheres",
                  n_lights=0, shading="bvh", order="sample", n_pgroups=0,
                  tex_meta=None, n_sgroups=0, gkinds=None, tile=None,
-                 n_focus=1, rot_stride=0):
+                 n_focus=1, rot_stride=0, aa=None, is_ortho=False):
     aspect = W / H
     # Queued-record width: o3, d3, contrib, bounced (+ medium, parent under
     # the materials shading — the per-ray medium-RI stack rides the record).
@@ -131,7 +133,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
         def raygen(p):
             """Primary ray for global lane index p ((1, L) i32) -> (16, L).
 
-            Transcribes ``ops.camera_rays.primary_rays`` (no aa_grid):
+            Transcribes ``ops.camera_rays.primary_rays``:
             unnormalized right/up screen basis + sunflower thin-lens
             aperture pivoting about the per-sample focal point."""
             pix = p // spp
@@ -158,12 +160,62 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                   + cam_ref[0, CAM_ROW0])
             pxs = (ix.astype(jnp.float32) * (1.0 / W) - 0.5) * aspect
             pys = iy * (1.0 / H) - 0.5
+            if aa is not None:
+                # Supersampling grid jitter (IOW-02, 03_Shadows glsl:
+                # 385-399 diagonal scan; ops.camera_rays aa_grid path):
+                # sample s offsets the screen point by the static cell
+                # table.  Vector s_i -> table via a (spp, L) one-hot.
+                jxs, jys = aa  # static tuples of length spp
+                jx_l = zeros1
+                jy_l = zeros1
+                for si in range(spp):  # unrolled: scalar constants only
+                    m = (s_i == si).astype(jnp.float32)
+                    jx_l = jx_l + m * float(jxs[si])
+                    jy_l = jy_l + m * float(jys[si])
+                pxs = pxs + jx_l * ((1.0 / W) * aspect)
+                pys = pys + jy_l * (1.0 / H)
             sd = cam_ref[0, CAM_SD]
             bdx = cam_ref[0, CAM_DX] * sd + cam_ref[0, CAM_RX] * pxs + cam_ref[0, CAM_UX] * pys
             bdy = cam_ref[0, CAM_DY] * sd + cam_ref[0, CAM_RY] * pxs + cam_ref[0, CAM_UY] * pys
             bdz = cam_ref[0, CAM_DZ] * sd + cam_ref[0, CAM_RZ] * pxs + cam_ref[0, CAM_UZ] * pys
             binv = jax.lax.rsqrt(jnp.maximum(bdx * bdx + bdy * bdy + bdz * bdz, 1e-30))
             bdx, bdy, bdz = bdx * binv, bdy * binv, bdz * binv
+
+            if is_ortho:
+                # Orthographic lattice (GLCore/Util/OrthographicCamera.h:
+                # 7-33; ops.camera_rays ortho blend): parallel rays from
+                # the view plane — origin = pos + h*(sx*rn + sy*un),
+                # direction = camera.direction; DOF machinery skipped
+                # (the queue path's override discards it identically).
+                # Normalized right/up in the QUEUE path's arithmetic
+                # (v / sqrt, not rsqrt — visibility parity).
+                h_o = cam_ref[0, CAM_PAD]
+                rx_, ry_, rz_ = (cam_ref[0, CAM_RX], cam_ref[0, CAM_RY],
+                                 cam_ref[0, CAM_RZ])
+                ux_, uy_, uz_ = (cam_ref[0, CAM_UX], cam_ref[0, CAM_UY],
+                                 cam_ref[0, CAM_UZ])
+                rn = jnp.sqrt(rx_ * rx_ + ry_ * ry_ + rz_ * rz_)
+                un = jnp.sqrt(ux_ * ux_ + uy_ * uy_ + uz_ * uz_)
+                sxh = pxs * h_o
+                syh = pys * h_o
+                ox = cam_ref[0, CAM_PX] + sxh * (rx_ / rn) + syh * (ux_ / un)
+                oy = cam_ref[0, CAM_PY] + sxh * (ry_ / rn) + syh * (uy_ / un)
+                oz = cam_ref[0, CAM_PZ] + sxh * (rz_ / rn) + syh * (uz_ / un)
+                ddx = jnp.zeros((1, L), jnp.float32) + cam_ref[0, CAM_DX]
+                ddy = jnp.zeros((1, L), jnp.float32) + cam_ref[0, CAM_DY]
+                ddz = jnp.zeros((1, L), jnp.float32) + cam_ref[0, CAM_DZ]
+                th = GOLDEN_ANGLE * sf
+                cth = jnp.cos(th)
+                sth = jnp.sin(th)
+                omt = 1.0 - sf * (1.0 / spp)
+                ones1 = jnp.ones((1, L), jnp.float32)
+                new16 = jnp.concatenate([
+                    ox, oy, oz, ddx, ddy, ddz, omt, tmax_row,
+                    ones1, zeros1,
+                    ones1, ones1,  # medium, parent_medium (air)
+                    jnp.zeros((4, L), jnp.float32),
+                ], axis=0)
+                return new16, cth, sth
 
             # sunflower_disc(s, spp, aperture)
             n = float(spp)
@@ -561,7 +613,7 @@ def pack_camera(camera, row_stride=1.0, row0=0.0):
         jnp.stack([sd, camera.aperture, camera.focus_dist[0],
                    jnp.asarray(row_stride, jnp.float32),
                    jnp.asarray(row0, jnp.float32),
-                   jnp.zeros((), jnp.float32)]),
+                   jnp.asarray(camera.ortho_height, jnp.float32)]),
         camera.focus_dist[1:7],
     ])
     return jnp.pad(vals, (0, CAM_LEN - vals.shape[0])).reshape(
@@ -572,12 +624,14 @@ def pack_camera(camera, row_stride=1.0, row0=0.0):
     jax.jit,
     static_argnames=("cfg", "B", "L", "R", "gr", "use_mxu", "full_height",
                      "n_lights", "order", "tex_meta", "n_sgroups",
-                     "gkinds", "tile", "n_focus", "rot_stride"))
+                     "gkinds", "tile", "n_focus", "rot_stride", "aa",
+                     "is_ortho"))
 def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
                gr: int, use_mxu: bool, full_height: int = 0, lts=None,
                n_lights: int = 0, order: str = "sample", tex3=None,
                tex_meta=None, n_sgroups: int = 0, gkinds=None, tile=None,
-               n_focus: int = 1, rot_stride: int = 0):
+               n_focus: int = 1, rot_stride: int = 0, aa=None,
+               is_ortho: bool = False):
     from raytracing_tests_tpu.kernels.sweep2 import PROBE_GR
 
     fhi, fmid, flo = ftab3
@@ -606,7 +660,7 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
         mode=cfg.pallas_mode, n_lights=n_lights, shading=cfg.shading,
         order=order, n_pgroups=n_pgroups, tex_meta=tex_meta,
         n_sgroups=n_sgroups, gkinds=gkinds, tile=tile, n_focus=n_focus,
-        rot_stride=rot_stride)
+        rot_stride=rot_stride, aa=aa, is_ortho=is_ortho)
     lane_spec = lambda rows: pl.BlockSpec((rows, L), lambda i: (0, i),
                                           memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
@@ -676,11 +730,23 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     assert cfg.shading in ("bvh", "materials"), cfg.shading
     if cfg.shading == "materials":
         assert lights is None, "materials shading: no emissive lights"
-    assert not cfg.aa_grid, "uber path: DOF sampling only (no aa_grid)"
     assert not cfg.show_normals
     n_focus = camera.focus_dist.shape[0]  # multi-focus: fd[s % K] in raygen
     assert n_focus <= 7, "uber path: K <= 7 focus dists (CAM_LEN tail)"
-    _assert_perspective(camera)
+    # aa_grid: static per-sample jitter table baked into raygen (IOW-02).
+    aa = None
+    if cfg.aa_grid:
+        from raytracing_tests_tpu.core.sampling import supersample_grid_offsets
+
+        cells, grid = supersample_grid_offsets(cfg.spp)
+        aa = (tuple((float(c[0]) + 0.5) / grid - 0.5 for c in cells),
+              tuple((float(c[1]) + 0.5) / grid - 0.5 for c in cells))
+    # Orthographic: static trace-time branch (concrete cameras only; a
+    # traced ortho camera must take the queue renderer).
+    oh_ = camera.ortho_height
+    is_ortho = (not isinstance(oh_, jax.core.Tracer)) and float(oh_) > 0.0
+    if isinstance(oh_, jax.core.Tracer):
+        _assert_perspective(camera)
     lts, n_lights = pack_lights(lights)
     if scene.textures is not None:
         from raytracing_tests_tpu.kernels.texture import pack_atlas
@@ -747,7 +813,8 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
                                n_sgroups=getattr(accel, "n_sgroups", 0),
                                gkinds=getattr(accel, "gkinds", None),
                                tile=tile, n_focus=n_focus,
-                               rot_stride=rot_stride)
+                               rot_stride=rot_stride, aa=aa,
+                               is_ortho=is_ortho)
     if order == "pixel":
         # out: (4*NPIX, NB*L) per-pixel sums of gamma'd samples (+ the mid
         # sample's depth in channel 3).  Global column j's first primary is

@@ -639,3 +639,44 @@ def test_cuboid_fastinv_matches_safeinv():
                       (2.0, 0.2, -3.0,  0.0, 0.0, 1.0)],
                     jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0))
     assert float(np.asarray(t2).min()) > 1e30
+
+
+def test_uber_aa_grid_and_ortho_match_queue():
+    """IOW-02 aa_grid supersampling and the orthographic camera now ride
+    the persistent kernel (static jitter table / trace-time ortho branch
+    in raygen) — statistical parity vs the queue renderer, plus a guard
+    that each mode actually changes the image vs its counterpart."""
+    import jax
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import render_stats
+
+    # aa_grid on the groups scene (the reference workload that uses it).
+    scene, cam = examples.groups_scene()
+    cfg = RenderConfig(width=48, height=32, spp=5, max_bounces=4,
+                       aa_grid=True, intersector="pallas").for_scene(scene)
+    oq = jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, cam)
+    ou = render_uber(scene, cam, cfg, L=256, R=10, gr=16)
+    iq, iu = np.asarray(oq["image"]), np.asarray(ou["image"])
+    assert abs(float(iq.mean()) - float(iu.mean())) < 5e-3
+    assert (np.abs(iq - iu).max(axis=-1) > 0.05).mean() < 0.03
+    assert int(ou["rays_dropped"]) == 0
+    cfg0 = RenderConfig(width=48, height=32, spp=5, max_bounces=4,
+                        intersector="pallas").for_scene(scene)
+    o0 = render_uber(scene, cam, cfg0, L=256, R=10, gr=16)
+    assert float(np.abs(np.asarray(o0["image"]) - iu).max()) > 1e-4
+
+    # Orthographic camera (GLCore OrthographicCamera): parallel rays.
+    import dataclasses
+
+    s2, c2 = examples.sphere_scene()
+    c2o = dataclasses.replace(c2, ortho_height=2.5)
+    cfg2 = RenderConfig(width=48, height=32, spp=4, max_bounces=4,
+                        intersector="pallas").for_scene(s2)
+    oq2 = jax.jit(lambda s, c: render_stats(s, c, cfg2))(s2, c2o)
+    ou2 = render_uber(s2, c2o, cfg2, L=256, R=6, gr=16)
+    iq2, iu2 = np.asarray(oq2["image"]), np.asarray(ou2["image"])
+    assert abs(float(iq2.mean()) - float(iu2.mean())) < 5e-3
+    assert (np.abs(iq2 - iu2).max(axis=-1) > 0.05).mean() < 0.03
+    op = render_uber(s2, c2, cfg2, L=256, R=6, gr=16)  # perspective
+    assert float(np.abs(np.asarray(op["image"]) - iu2).max()) > 1e-3
