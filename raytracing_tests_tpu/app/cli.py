@@ -4,9 +4,12 @@ Usage:
   python -m raytracing_tests_tpu list
   python -m raytracing_tests_tpu render <workload> [--width W --height H
         --spp S --bounces B --normals --bvh --mesh N --out out.png
-        --depth-out depth.png]
+        --depth-out depth.png --progressive --tiles-per-step K
+        --texture img.png --texture-mapping mercator|cubic]
   python -m raytracing_tests_tpu train <workload> [--steps N --lr F
         --train-fields color,position --out-dir dir]
+  python -m raytracing_tests_tpu watch <workload> --params params.json
+        [--out out.png --interval S --max-renders N]
   python -m raytracing_tests_tpu bench [--smoke]
 
 Replaces the reference's compile-time workload selection
@@ -65,6 +68,25 @@ def _cmd_render(args):
         from raytracing_tests_tpu.parallel import make_mesh
 
         kw["mesh"] = make_mesh(args.mesh)
+    if args.texture:
+        kw["texture"] = args.texture
+        kw["texture_mapping"] = args.texture_mapping
+    if args.progressive:
+        # Spiral refine-from-center preview (reference base2.h:329-381):
+        # write the canvas after every batch of tiles so the fovea-first
+        # fill-in is visible on disk as it happens.
+        kw["progressive"] = True
+        kw["tiles_per_step"] = args.tiles_per_step
+        stem = args.out[:-4] if args.out.endswith(".png") else args.out
+        state = {"k": 0}
+
+        def on_frame(step):
+            state["k"] += 1
+            io.save_png(f"{stem}_p{state['k']:03d}.png", step["image"])
+            log.info("progressive: %.0f%% -> %s_p%03d.png",
+                     100 * step["done_fraction"], stem, state["k"])
+
+        kw["on_frame"] = on_frame
     t0 = time.perf_counter()
     out = w.run(**kw)
     img = np.asarray(out["image"])
@@ -181,6 +203,18 @@ def _cmd_info(_args):
     print(f"native host runtime: {'available' if native.available() else 'unavailable'}")
 
 
+def _cmd_watch(args):
+    from raytracing_tests_tpu.app.watch import watch
+
+    run_kw = {}
+    for k in ("width", "height", "spp"):
+        if getattr(args, k):
+            run_kw[k] = getattr(args, k)
+    watch(args.workload, args.params, out=args.out,
+          interval_s=args.interval, max_renders=args.max_renders,
+          run_kw=run_kw)
+
+
 def _cmd_bench(args):
     import os
     import runpy
@@ -213,6 +247,17 @@ def main(argv=None):
     pr.add_argument("--mesh", type=int, help="shard over N devices")
     pr.add_argument("--out", default="render.png")
     pr.add_argument("--depth-out", help="also write normalized depth PNG")
+    pr.add_argument("--progressive", action="store_true",
+                    help="spiral refine-from-center tile rendering; writes "
+                    "an intermediate PNG per tile batch (reference base2)")
+    pr.add_argument("--tiles-per-step", type=int, default=4,
+                    help="tiles traced per progressive step")
+    pr.add_argument("--texture", help="image file for texturing-image "
+                    "(PNG/JPG; remapped onto the cube-sphere atlas)")
+    pr.add_argument("--texture-mapping", default="mercator",
+                    choices=("mercator", "cubic"),
+                    help="how to interpret --texture: equirectangular "
+                    "(earth.jpg) or packed 6-face atlas (dice.png)")
 
     pt = sub.add_parser("train", help="inverse-rendering demo: recover scene params")
     pt.add_argument("workload")
@@ -243,6 +288,21 @@ def main(argv=None):
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.add_argument("--smoke", action="store_true")
 
+    pw = sub.add_parser(
+        "watch", help="live-param loop: re-render on params-file change "
+        "(the reference's hot-reload/ImGui-knob loop, base.h:27-57)")
+    pw.add_argument("workload")
+    pw.add_argument("--params", required=True,
+                    help="JSON params file to poll (see app/watch.py schema)")
+    pw.add_argument("--out", default="watch.png")
+    pw.add_argument("--interval", type=float, default=0.5,
+                    help="poll interval seconds")
+    pw.add_argument("--max-renders", type=int,
+                    help="stop after N successful renders (default: forever)")
+    pw.add_argument("--width", type=int)
+    pw.add_argument("--height", type=int)
+    pw.add_argument("--spp", type=int)
+
     args = p.parse_args(argv)
     {
         "list": _cmd_list,
@@ -250,6 +310,7 @@ def main(argv=None):
         "render": _cmd_render,
         "train": _cmd_train,
         "bench": _cmd_bench,
+        "watch": _cmd_watch,
     }[args.cmd](args)
 
 

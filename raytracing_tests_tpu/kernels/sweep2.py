@@ -744,11 +744,22 @@ def make_accel2(scene: Scene, gr: int = DEFAULT_GR,
 
 # probe_relevant_rows cache: the O(N^2) host matrix (a ~200 MB transient
 # at the N = 4096 threshold) must not be rebuilt on every render call.
-# Keyed by id(scene.position); the stored strong ref keeps the key array
-# alive, so a matching id PROVES identity (ids are unique among live
-# objects).  Bounded FIFO — renders reuse a handful of scenes.
+# Keyed by id(scene.position), VALIDATED against the identity of EVERY
+# array the computation reads (scene.replace(...) variants share the
+# position array but change e.g. refractivity — a positional-only key
+# returned stale masks).  The stored strong refs keep the keys alive, so
+# matching ids PROVE identity.  Bounded FIFO — renders reuse a handful of
+# scenes.
 _PROBE_CACHE: dict = {}
 _PROBE_CACHE_MAX = 8
+
+
+def _probe_cache_deps(scene):
+    """Every scene array ``probe_relevant_rows`` reads, directly or through
+    ``scene_mode``/``world_aabbs``."""
+    return (scene.position, scene.rotation, scene.scale,
+            scene.delta_position, scene.obj_type, scene.valid,
+            scene.refractive_index, scene.refractivity, scene.texture_index)
 
 
 def probe_relevant_rows(scene, margin: float = 4e-3):
@@ -789,8 +800,11 @@ def probe_relevant_rows(scene, margin: float = 4e-3):
     conservative world-AABB gap.  Training keeps the full table (traced
     scenes return None): optimization can move objects into contact."""
     ck = id(scene.position)
+    deps = _probe_cache_deps(scene)
     hit_c = _PROBE_CACHE.get(ck)
-    if hit_c is not None and hit_c[0] is scene.position and hit_c[1] == margin:
+    if (hit_c is not None and hit_c[1] == margin
+            and len(hit_c[0]) == len(deps)
+            and all(a is b for a, b in zip(hit_c[0], deps))):
         return hit_c[2]
     try:
         valid = np.asarray(scene.valid)
@@ -834,7 +848,7 @@ def probe_relevant_rows(scene, margin: float = 4e-3):
         return None
     if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
         _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
-    _PROBE_CACHE[ck] = (scene.position, margin, mask)
+    _PROBE_CACHE[ck] = (deps, margin, mask)
     return mask
 
 

@@ -779,7 +779,12 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     from raytracing_tests_tpu.kernels.sweep2 import probe_relevant_rows
 
     probe_rows, probe_mask = cfg.probe_rows, None
-    if probe_rows != 0:
+    if probe_rows > 0:
+        # probe_rows == -1 is the documented FULL-TABLE opt-out (scenes
+        # where the camera starts inside a dielectric — see the
+        # probe_relevant_rows camera-in-air caveat): keep every ri != 1
+        # row, skip the reachability cut.  probe_rows == 0 disables the
+        # probe entirely; only the positive for_scene count takes the cut.
         probe_mask = probe_relevant_rows(scene)
         if probe_mask is not None:
             probe_rows = int(probe_mask.sum())

@@ -43,6 +43,9 @@ def _rt_run(scene_fn, defaults: dict, lights: bool = False):
         lane_chunk: Optional[int] = None,
         mesh=None,
         uber: bool = False,
+        progressive: bool = False,
+        tiles_per_step: int = 4,
+        on_frame=None,
         **scene_kw,
     ):
         scene, camera = scene_fn(**scene_kw)
@@ -58,6 +61,18 @@ def _rt_run(scene_fn, defaults: dict, lights: bool = False):
         )
         cfg = cfg.for_scene(scene)
         lt = extract_lights(scene) if lights else None
+        if progressive:
+            # Reference base2's refine-from-center spiral (base2.h:329-381):
+            # trace K tiles per step into a persistent canvas; ``on_frame``
+            # sees every intermediate (CLI writes preview PNGs).
+            from raytracing_tests_tpu.ops.tiles import render_progressive
+
+            step = None
+            for step in render_progressive(scene, camera, cfg, lt,
+                                           tiles_per_step=tiles_per_step):
+                if on_frame is not None:
+                    on_frame(step)
+            return dict(step, scene=scene, camera=camera, cfg=cfg)
         if uber and mesh is not None:
             from raytracing_tests_tpu.parallel.render_sharded import (
                 render_uber_sharded)

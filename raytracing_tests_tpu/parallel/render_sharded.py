@@ -124,7 +124,22 @@ def render_uber_sharded(
     assert cfg.shading in ("bvh", "materials"), cfg.shading
     if cfg.shading == "materials":
         assert lights is None, "materials shading: no emissive lights"
-    _assert_perspective(camera)
+    # Camera features ride the same static raygen switches as the
+    # single-device render_uber (a silent default here would render a
+    # DIFFERENT image than the path it mirrors).
+    n_focus = camera.focus_dist.shape[0]
+    assert n_focus <= 7, "uber path: K <= 7 focus dists (CAM_LEN tail)"
+    aa = None
+    if cfg.aa_grid:
+        from raytracing_tests_tpu.core.sampling import supersample_grid_offsets
+
+        cells, grid = supersample_grid_offsets(cfg.spp)
+        aa = (tuple((float(c[0]) + 0.5) / grid - 0.5 for c in cells),
+              tuple((float(c[1]) + 0.5) / grid - 0.5 for c in cells))
+    oh_ = camera.ortho_height
+    is_ortho = (not isinstance(oh_, jax.core.Tracer)) and float(oh_) > 0.0
+    if isinstance(oh_, jax.core.Tracer):
+        _assert_perspective(camera)
     lts, n_lights = pack_lights(lights)
     if scene.textures is not None:
         from raytracing_tests_tpu.kernels.texture import pack_atlas
@@ -170,7 +185,8 @@ def render_uber_sharded(
             B_shard, L, R, gr, False, full_height=H, lts=lts_,
             n_lights=n_lights, tex3=tex_ or None, tex_meta=tex_meta,
             n_sgroups=getattr(accel_, "n_sgroups", 0),
-            gkinds=getattr(accel_, "gkinds", None))
+            gkinds=getattr(accel_, "gkinds", None),
+            n_focus=n_focus, aa=aa, is_ortho=is_ortho)
         NB = -(-B_shard // (R * L))
         o4 = out.reshape(4, R, NB, L).transpose(2, 1, 3, 0)
         o4 = o4.reshape(NB * R * L, 4)[:B_shard]

@@ -122,22 +122,35 @@ def texturing_scene(tex_size: int = 64):
     return b.build(), cam
 
 
-def texturing_image_scene(tex_size: int = 64):
+def texturing_image_scene(tex_size: int = 64, texture: str = None,
+                          texture_mapping: str = "mercator"):
     """Image-textured spheres via the mercator->cubic remap (the reference's
     ``earth.jpg`` path, ``texturing.cpp:41`` + ``utility.cpp:253-487``):
     a procedural equirectangular 'planet' image is reprojected onto the
-    cube-sphere atlas, plus a dice-style direct cubic atlas."""
+    cube-sphere atlas, plus a dice-style direct cubic atlas.
+
+    ``texture``: path to a real image file (PNG/JPG) to use instead of the
+    procedural planet — ``texture_mapping='mercator'`` reprojects an
+    equirectangular image on device (``earth.jpg``-style), ``'cubic'``
+    takes an already-packed 6-face atlas (``dice.png``-style).  CLI:
+    ``render texturing-image --texture path.png``."""
     from raytracing_tests_tpu.scene import projection as proj
 
-    H, W = tex_size, 2 * tex_size
+    if texture is not None:
+        atlas_from_merc = np.asarray(
+            proj.load_image_texture(texture, mapping=texture_mapping))
+        H, W = atlas_from_merc.shape[:2]  # dice atlas must share the shape
+    else:
+        H, W = tex_size, 2 * tex_size
     v, u = np.meshgrid(np.arange(H) / H, np.arange(W) / W, indexing="ij")
-    continents = (np.sin(u * 11.0) * np.cos(v * 7.0 + u * 3.0) + np.sin(v * 5.0)) > 0.35
-    merc = np.where(
-        continents[..., None],
-        np.stack([0.25 + 0.3 * v, 0.55 - 0.2 * v, 0.2 * np.ones_like(u)], -1),
-        np.stack([0.1 * np.ones_like(u), 0.25 + 0.2 * u, 0.65 - 0.2 * v], -1),
-    ).astype(np.float32)
-    atlas_from_merc = np.asarray(proj.mercator_to_cubic(merc, bilinear=True))
+    if texture is None:
+        continents = (np.sin(u * 11.0) * np.cos(v * 7.0 + u * 3.0) + np.sin(v * 5.0)) > 0.35
+        merc = np.where(
+            continents[..., None],
+            np.stack([0.25 + 0.3 * v, 0.55 - 0.2 * v, 0.2 * np.ones_like(u)], -1),
+            np.stack([0.1 * np.ones_like(u), 0.25 + 0.2 * u, 0.65 - 0.2 * v], -1),
+        ).astype(np.float32)
+        atlas_from_merc = np.asarray(proj.mercator_to_cubic(merc, bilinear=True))
 
     # dice-style cubic atlas: face index painted as brightness + pip color
     fw = W // 6

@@ -582,9 +582,11 @@ def test_generic_census_rotation_kinds():
     scene, cam = examples.bvh_grid_scene(side=6)
     acc = make_accel2g(scene, gr=16, sort_origin=cam.position)
     kinds = set(acc.gkinds)
-    # Full groups are type-pure; the two partial tails merge into at most
-    # ONE mixed group (group count never exceeds plain Morton chunking).
-    assert sum(k == "m" for k in acc.gkinds) <= 1, acc.gkinds
+    # Class-chunked packing keeps even the partial tails TYPE-PURE (a
+    # merged mixed tail runs both primitives' arithmetic over all rows and
+    # measured slower — PERFORMANCE.md fact 30), at the cost of up to one
+    # extra group vs plain Morton chunking.
+    assert "m" not in kinds, acc.gkinds
     assert "s" in kinds and ("cy" in kinds or "a" in kinds), acc.gkinds
 
     cfg = RenderConfig(width=48, height=32, spp=4, max_bounces=5,

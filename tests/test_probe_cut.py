@@ -212,3 +212,30 @@ def test_reflect_spawn_hole_within_envelope(monkeypatch):
     cut = np.asarray(cpu_renderer.render_cpu(scene, cam, cfg)["image"])
     monkeypatch.setattr(cpu_renderer, "_surrounding_ri", orig)
     assert np.abs(cut - full).mean() < 5e-3
+
+
+def test_probe_cache_keyed_on_all_read_fields():
+    """Regression (round-5 advisor): ``scene.replace(...)`` variants SHARE
+    the position array, so a cache keyed on position identity alone
+    returned stale masks when refractivity/ri/valid/scale/motion changed.
+    Every array the computation reads must invalidate the cache."""
+    from raytracing_tests_tpu.scene import examples
+
+    scene, _ = examples.iow_final_scene()
+    mask = probe_relevant_rows(scene)
+    assert mask is not None and mask.any()
+    # Kill all refraction: no row can feed a refraction child anymore.
+    inert = scene.replace(refractivity=np.zeros_like(
+        np.asarray(scene.refractivity)))
+    assert inert.position is scene.position  # the aliasing precondition
+    mask_inert = probe_relevant_rows(inert)
+    assert mask_inert is not None and not mask_inert.any(), (
+        int(mask_inert.sum()), "stale cached mask returned for a variant")
+    # And back: the original scene must still get its original mask.
+    again = probe_relevant_rows(scene)
+    assert (again == mask).all()
+    # An all-air variant (ri == 1 everywhere) has no dielectric rows.
+    air = scene.replace(refractive_index=np.ones_like(
+        np.asarray(scene.refractive_index)))
+    mask_air = probe_relevant_rows(air)
+    assert mask_air is not None and not mask_air.any()
