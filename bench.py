@@ -183,6 +183,49 @@ def side_configs(chunk):
     return out
 
 
+def grad_config(chunk):
+    """Gradient-step timing at BASELINE scale (800x450x16spp d8, banded
+    fastpath) — the backward path's regression trail (VERDICT r4 item 4;
+    the 30.16 s/step figure previously lived only in PERFORMANCE.md prose).
+
+    Mrays/s-equivalent = the FORWARD's traced-ray count / grad-step time
+    (one full forward ride inside the step, so the ratio to the forward
+    number is the backward's cost factor)."""
+    import jax.numpy as jnp
+
+    from raytracing_tests_tpu.diff import banded_value_and_grad, extract_params
+
+    scene, cam = examples.iow_final_scene()
+    cfg = RenderConfig(width=800, height=450, spp=16, max_bounces=8,
+                       lane_chunk=chunk,
+                       intersector="pallas").for_scene(scene)
+    fwd = jax.jit(lambda s, c: render_stats(s, c, cfg))(scene, cam)
+    rays = int(fwd["rays"])
+    target = jnp.asarray(fwd["image"])
+    pert = scene.replace(color=scene.color * 0.8 + 0.1)
+    p = extract_params(pert)
+    # Smallest divisor of H keeping each band's live set <= ~300k samples
+    # (the banded-backward memory bound; 25 bands at this config).
+    want = max(1, -(-cfg.width * cfg.height * cfg.spp // 300_000))
+    bands = min(b for b in range(want, cfg.height + 1) if cfg.height % b == 0)
+    gr = jax.jit(banded_value_and_grad(pert, cam, cfg, grad_bands=bands))
+    out = gr(p, target)  # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = gr(p, target)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return {
+        "seconds_per_step": dt,
+        "mrays_equiv_per_s": round(rays / dt / 1e6, 2),
+        "rays_forward": rays,
+        "grad_bands": bands,
+        "loss": float(out[0]),
+        "size": f"{cfg.width}x{cfg.height}x{cfg.spp}spp d{cfg.max_bounces}",
+        "path": "banded fastpath (detached winners + closed-form recompute)",
+    }
+
+
 def main():
     smoke = os.environ.get("BENCH_SMOKE") == "1"
     if smoke:
@@ -233,6 +276,12 @@ def main():
                 except Exception as e:  # record, keep the sweep going
                     details["configs"][name] = {
                         "error": f"{type(e).__name__}: {e}"}
+        if os.environ.get("BENCH_SKIP_GRAD") != "1":
+            try:
+                details["configs"]["grad"] = grad_config(chunk)
+            except Exception as e:
+                details["configs"]["grad"] = {
+                    "error": f"{type(e).__name__}: {e}"}
 
     line = {
         "metric": f"Mrays/s/chip {'smoke' if smoke else 'iow-final'} {width}x{height}x{spp}spp d{cfg.max_bounces}",

@@ -430,6 +430,15 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                     n_lights=n_lights, n_pgroups=n_pgroups, tex=tex,
                     gkinds=gkinds, n_sgroups=n_sgroups, trig=trig)
 
+            # Child records travel in SLIM REC-row form (o3, d3, contrib,
+            # bounced [, medium, parent]): a full 16-row record carries 6
+            # constant/zero rows (omt + t_limit are lane constants, tail
+            # zeros) that the relay, queue, and where-chains never need —
+            # they are reconstructed once at the cur_sc write-back, exactly
+            # like the pop path always did.
+            slim = lambda a: jnp.concatenate(
+                [a[0:6], a[8 : 8 + (REC - 6)]], axis=0)
+            F0 = 4 + 2 * REC  # spawn/white flag rows in the slim relay
             if "slshade" in _ABLATE:
                 # Straight-line shade: no branch pair, no res_sc relay.
                 # _shade_hits/_shade_materials_k already handle miss lanes
@@ -439,6 +448,8 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                 # branch.
                 (add_r, add_g, add_b, hit_t, refr16, refl16,
                  sr_b, sl_b, wh_b) = _shade_vals()
+                refrR = slim(refr16)
+                reflR = slim(refl16)
                 spawn_refr = sr_b
                 spawn_refl = sl_b
                 white_b = wh_b
@@ -448,28 +459,29 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                     (r_, g_, b_, t_, refr_, refl_, sr_, sl_,
                      wh_) = _shade_vals()
                     res_sc[:] = jnp.concatenate([
-                        r_, g_, b_, t_, refr_, refl_,
+                        r_, g_, b_, t_, slim(refr_), slim(refl_),
                         sr_.astype(jnp.float32), sl_.astype(jnp.float32),
                         wh_.astype(jnp.float32),
-                        jnp.zeros((1, L), jnp.float32),
                     ], axis=0)
 
                 @pl.when(~jnp.any(hit))
                 def _():
                     mc = jnp.where(act, contrib, 0.0)
-                    res_sc[:] = jnp.concatenate([
-                        mc * bgr, mc * bgg, mc * bgb, tmax_row,
-                        jnp.zeros((36, L), jnp.float32),
-                    ], axis=0)
+                    # Only the color/depth head and the flag rows matter on
+                    # a pure-miss iteration (stale record rows are masked
+                    # out by the false spawn flags downstream).
+                    res_sc[0:4] = jnp.concatenate(
+                        [mc * bgr, mc * bgg, mc * bgb, tmax_row], axis=0)
+                    res_sc[F0 : F0 + 3] = jnp.zeros((3, L), jnp.float32)
 
                 res = res_sc[:]
                 add_r, add_g, add_b = res[0:1], res[1:2], res[2:3]
                 hit_t = res[3:4]
-                refr16 = res[4:20]
-                refl16 = res[20:36]
-                spawn_refr = res[36:37] > 0.5
-                spawn_refl = res[37:38] > 0.5
-                white_b = res[38:39] > 0.5
+                refrR = res[4 : 4 + REC]
+                reflR = res[4 + REC : 4 + 2 * REC]
+                spawn_refr = res[F0 : F0 + 1] > 0.5
+                spawn_refl = res[F0 + 1 : F0 + 2] > 0.5
+                white_b = res[F0 + 2 : F0 + 3] > 0.5
             # Emissive abort: the whole SAMPLE becomes pure white and the
             # lane's remaining tree (current ray + stacked siblings) drops.
             white = white_b & act if n_lights > 0 else (
@@ -495,22 +507,20 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             # first -> reflect in place); 'materials' pushes reflection
             # then refraction (refraction in place, glsl:347-352).
             if shading == "materials":
-                inplace16, queued16 = refr16, refl16
+                inplaceR, queuedR = refrR, reflR
                 sp_in, sp_q = spawn_refr, spawn_refl
             else:
-                inplace16, queued16 = refl16, refr16
+                inplaceR, queuedR = reflR, refrR
                 sp_in, sp_q = spawn_refl, spawn_refr
             push = spawn_refl & spawn_refr
             canq = qs < Q
             do_push = push & canq
             stat_ref[1:2] = stat_ref[1:2] + (push & ~canq).astype(jnp.int32)
 
-            recN = jnp.concatenate(
-                [queued16[0:6], queued16[8 : 8 + (REC - 6)]], axis=0)
             qrN = qrow - (qrow // REC) * REC
-            valsN = recN[0:1]
+            valsN = queuedR[0:1]
             for rr in range(1, REC):
-                valsN = jnp.where(qrN == rr, recN[rr : rr + 1], valsN)
+                valsN = jnp.where(qrN == rr, queuedR[rr : rr + 1], valsN)
 
             @_when(jnp.any(do_push))
             def _():
@@ -538,19 +548,19 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                     popN[rr] = jnp.where(
                         selq, qv[qq * REC + rr : qq * REC + rr + 1],
                         popN[rr])
-            omt_row = cur[6:7]  # lane constant: time never changes in a tree
-            popped16 = jnp.concatenate(
-                popN[0:6] + [omt_row, tmax_row] + popN[6:REC]
-                + [jnp.zeros((16 - 2 - REC, L), jnp.float32)], axis=0)
+            popR = jnp.concatenate(popN, axis=0)
             qs = qs - do_pop.astype(jnp.int32)
 
             # On stack overflow the QUEUED-preference child survives (the
             # queue renderer pushes the in-place-preference child last, so
             # IT is the one dropped there).
             overflow = push & ~canq
-            cur_sc[:] = jnp.where(sp_in & ~overflow, inplace16,
-                                  jnp.where(sp_q | overflow, queued16,
-                                            popped16))
+            chosenR = jnp.where(sp_in & ~overflow, inplaceR,
+                                jnp.where(sp_q | overflow, queuedR, popR))
+            omt_row = cur[6:7]  # lane constant: time never changes in a tree
+            cur_sc[:] = jnp.concatenate(
+                [chosenR[0:6], omt_row, tmax_row, chosenR[6:REC]]
+                + [jnp.zeros((16 - 2 - REC, L), jnp.float32)], axis=0)
             act2 = act & (spawn_refl | spawn_refr | do_pop) & ~kill
             meta_sc[1:2] = act2.astype(jnp.int32)
             meta_sc[2:3] = qs
@@ -692,8 +702,12 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
             pltpu.VMEM((4, L), jnp.float32),  # round accumulator
             pltpu.VMEM((1, L), jnp.float32),  # sweep t
             pltpu.VMEM((1, L), jnp.int32),  # sweep obj
-            # shade-results relay (unused under straight-line shade)
-            pltpu.VMEM((1 if "slshade" in _ABLATE else 40, L), jnp.float32),
+            # shade-results relay: color/depth head + two SLIM REC-row
+            # child records + 3 flag rows (unused under straight-line
+            # shade)
+            pltpu.VMEM((1 if "slshade" in _ABLATE else
+                        4 + 2 * (10 if cfg.shading == "materials" else 8)
+                        + 3, L), jnp.float32),
             pltpu.VMEM((2, L), jnp.float32),  # carried (cos, sin) of s
         ],
         interpret=_interpret(),

@@ -75,6 +75,79 @@ def measure_rays_per_s(scene, camera, cfg: RenderConfig, n_devices: int,
     return rays / dt
 
 
+def shard_iteration_counts(scene, camera, cfg: RenderConfig, n_shards: int,
+                           L: int = 2048, R: int = 32, gr: int = 64):
+    """DETERMINISTIC per-shard work for the interleaved row sharding: each
+    shard's persistent-kernel while-loop iteration count (the kernel's own
+    stat counter), computed by running every shard's exact program
+    sequentially on whatever backend this runs on.
+
+    Iteration counts are invariant to clock/tunnel weather (PERFORMANCE.md
+    fact 37: "iteration counts are deterministic and always comparable"),
+    so this is the honest load-balance model this single-chip environment
+    CAN measure for the multi-chip claim: with every shard running the same
+    kernel at the same per-iteration cost, wall-clock on a real mesh is set
+    by the SLOWEST shard — efficiency <= mean(iters) / max(iters).
+
+    Returns a list of per-shard iteration counts (length ``n_shards``)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from raytracing_tests_tpu.kernels.uber import (
+        _uber_call, make_accel2, pack_camera)
+
+    assert cfg.shading == "bvh" and cfg.pallas_mode in ("spheres", "generic")
+    gr = min(gr, max(8, -(-scene.capacity // 8) * 8))
+    H, W, S = cfg.height, cfg.width, cfg.spp
+    h = -(-H // n_shards)
+    shard_cfg = dataclasses.replace(cfg, height=h)
+    B_shard = h * W * S
+    if cfg.pallas_mode == "spheres":
+        accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
+                            sort_origin=camera.position,
+                            probe_rows=cfg.probe_rows)
+    else:
+        from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
+
+        accel = make_accel2g(scene, gr=gr, has_motion=cfg.has_motion,
+                             sort_origin=camera.position,
+                             probe_rows=cfg.probe_rows)
+    iters = []
+    for d in range(n_shards):
+        cam = pack_camera(camera, row_stride=float(n_shards),
+                          row0=float(d))
+        _, stat, NB = _uber_call(
+            accel.otab, accel.ftab3, accel.gaabb, cam, shard_cfg,
+            B_shard, L, R, gr, False, full_height=H,
+            n_sgroups=getattr(accel, "n_sgroups", 0),
+            gkinds=getattr(accel, "gkinds", None))
+        iters.append(int(jnp.sum(stat[2].reshape(NB, L)[:, 0])))
+    return iters
+
+
+def load_imbalance_report(scene, camera, cfg: RenderConfig,
+                          shard_counts: Sequence[int] = (1, 2, 4, 8),
+                          L: int = 2048, R: int = 32, gr: int = 64):
+    """Deterministic scaling model over ``shard_counts``: per-shard
+    iteration counts, worst/mean imbalance, and the implied efficiency
+    bound (see ``shard_iteration_counts``).  The interleaved row map
+    exists exactly to keep this ratio near 1 (sky rows and deep-BVH rows
+    alternate across shards — SURVEY.md §7 hard-part 5)."""
+    rows = []
+    for n in shard_counts:
+        its = shard_iteration_counts(scene, camera, cfg, n, L=L, R=R, gr=gr)
+        mean = sum(its) / len(its)
+        worst = max(its)
+        rows.append({
+            "shards": n,
+            "iters": its,
+            "imbalance": worst / mean,
+            "efficiency_bound": mean / worst,
+        })
+    return rows
+
+
 def scaling_report(scene, camera, cfg: RenderConfig, device_counts: Sequence[int],
                    renderer: str = "queue"):
     """Scaling table: rays/s and efficiency vs linear from the 1st entry.

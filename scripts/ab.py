@@ -108,9 +108,11 @@ def main():
         out = outs[name]
         rays = int(out["rays"])
         ts = times[name]
+        it = int(out["iters"])
+        ge = int(out.get("groups_entered", 0))
         print(f"AB {which} {name}: best={min(ts):.3f}s "
               f"med={sorted(ts)[len(ts)//2]:.3f}s "
-              f"iters={int(out['iters'])} "
+              f"iters={it} g/iter={ge / max(it, 1):.2f} "
               f"img={float(np.asarray(out['image']).mean()):.4f} "
               f"-> {rays/min(ts)/1e6:.1f} Mrays/s", flush=True)
 

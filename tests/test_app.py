@@ -250,3 +250,22 @@ def test_watch_apply_params_camera_and_cfg(tmp_path):
     assert np.allclose(np.asarray(s2.position)[0], [0.0, 0.5, -3.0])
     # Untouched fields survive.
     assert np.allclose(np.asarray(s2.color), np.asarray(scene.color))
+
+
+def test_load_imbalance_model_under_15pct():
+    """Deterministic multi-chip load-balance model (VERDICT r4 item 6):
+    per-shard persistent-kernel iteration counts for the interleaved row
+    sharding must stay within 15% of the mean — the work-balance bound
+    behind the >= 85% scaling-efficiency claim, measured with the kernel's
+    weather-free counters (PERFORMANCE.md fact 37)."""
+    from raytracing_tests_tpu.parallel.multihost import load_imbalance_report
+
+    scene, cam = examples.iow_final_scene(side=6)
+    cfg = RenderConfig(width=96, height=56, spp=2, max_bounces=6,
+                       intersector="pallas").for_scene(scene)
+    rows = load_imbalance_report(scene, cam, cfg, shard_counts=(1, 2, 4, 8),
+                                 L=256, R=8, gr=64)
+    assert rows[0]["imbalance"] == 1.0  # single shard, trivially balanced
+    for r in rows[1:]:
+        assert r["imbalance"] < 1.15, r
+        assert abs(r["efficiency_bound"] * r["imbalance"] - 1.0) < 1e-9
