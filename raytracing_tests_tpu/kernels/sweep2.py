@@ -217,7 +217,7 @@ def _point_in_aabb(gaabb_ref, g, qx, qy, qz):
 
 def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
                 tlim, t_sc, obj_sc, m_sc, e_sc, *, n_groups, gr, has_motion,
-                use_mxu, with_edge, cnt_ref=None):
+                use_mxu, with_edge, cnt_ref=None, ablate=None, hot=0):
     """The grouped nearest-hit sweep writing best (t, obj[, edge]) into the
     scratch refs.  Shared by the sweep kernels and the megakernel.
 
@@ -257,8 +257,13 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
         e_sc[:] = jnp.full((1, L), -1, jnp.int32)
 
     import os as _os
-    _noslab = "noslab" in frozenset(
-        _os.environ.get("UBER_ABLATE", "").split(","))
+    if ablate is None:
+        ablate = frozenset(_os.environ.get("UBER_ABLATE", "").split(","))
+    _noslab = "noslab" in ablate
+    # First ``hot`` groups run UNBRANCHED: near-first ordering means the
+    # nearest groups are entered almost every iteration, so their branch
+    # only costs (condition + control) without ever culling.
+    hot = int(_os.environ.get("UBER_HOT", 0)) or hot
     # Groups per pl.when: a TAKEN branch costs ~2-4 us at L = 2048 (the
     # dominant per-group cost when most groups are entered anyway), so
     # spanning several groups under ONE branch (entered if ANY member's
@@ -367,8 +372,8 @@ def _sweep_loop(otab_ref, gaabb_ref, ox, oy, oz, dx, dy, dz, omt, live,
             for g in gset:
                 _body(g)
 
-        if _noslab:  # ablation: straight-line bodies, no group branch
-            _bodies()
+        if _noslab or g0 + _span <= hot:
+            _bodies()  # straight-line: no group branch
         else:
             pl.when(jnp.any(ghit))(_bodies)
 

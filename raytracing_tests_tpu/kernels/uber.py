@@ -72,7 +72,10 @@ CAM_LEN = 24  # padded
 
 import os as _os
 
-_ABLATE = frozenset(_os.environ.get("UBER_ABLATE", "").split(","))
+def _env_ablate() -> frozenset:
+    """Default ablation set from UBER_ABLATE (read per render call so
+    in-process A/Bs can pass ``ablate=`` explicitly instead)."""
+    return frozenset(_os.environ.get("UBER_ABLATE", "").split(","))
 
 
 def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
@@ -80,7 +83,8 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                  B_total, use_mxu, max_iters, pops, mode="spheres",
                  n_lights=0, shading="bvh", order="sample", n_pgroups=0,
                  tex_meta=None, n_sgroups=0, gkinds=None, tile=None,
-                 n_focus=1, rot_stride=0, aa=None, is_ortho=False):
+                 n_focus=1, rot_stride=0, aa=None, is_ortho=False,
+                 ablate=frozenset(), hot=0, stage=0):
     aspect = W / H
     # Queued-record width: o3, d3, contrib, bounced (+ medium, parent under
     # the materials shading — the per-ray medium-RI stack rides the record).
@@ -104,7 +108,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
         else:
             tex = None
         (out_ref, stat_ref, cur_sc, meta_sc, q_sc, acc_sc,
-         t_sc, obj_sc, res_sc, trig_sc) = rest
+         t_sc, obj_sc, res_sc, trig_sc, stg_sc, stgk_sc) = rest
         L = cur_sc.shape[1]
         pid = pl.program_id(0)
         base = pid * (R * L)
@@ -129,6 +133,30 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
         q_sc[:] = jnp.zeros((Q * REC, L), jnp.float32)
         acc_sc[:] = jnp.zeros((4, L), jnp.float32)
         trig_sc[:] = jnp.zeros((2, L), jnp.float32)
+        if stage:
+            rowS = jax.lax.broadcasted_iota(jnp.int32, (stage, L), 0)
+            stgk_sc[:] = jnp.full((stage, L), -1, jnp.int32)
+
+        def _stage_drain():
+            """Write every staged round into the output tile and reset.
+
+            One (4R, L) tile touch covers up to ``stage`` finished rounds
+            per lane: the per-channel value is a sum of ``stage`` one-hots
+            (empty slots carry k = -1, which never matches rowR), so each
+            out cell still receives exactly one addition over the block's
+            lifetime — bitwise identical to the per-finish flush."""
+            kv = stgk_sc[:]
+            accv = stg_sc[:]
+            for c in range(4):
+                add = jnp.where(rowR == kv[0:1], accv[c * stage : c * stage + 1], 0.0)
+                for s in range(1, stage):
+                    add = add + jnp.where(
+                        rowR == kv[s : s + 1],
+                        accv[c * stage + s : c * stage + s + 1], 0.0)
+                seg = out_ref[c * R : (c + 1) * R]
+                out_ref[c * R : (c + 1) * R] = seg + add
+            stgk_sc[:] = jnp.full((stage, L), -1, jnp.int32)
+            meta_sc[4:5] = jnp.zeros((1, L), jnp.int32)
 
         def raygen(p):
             """Primary ray for global lane index p ((1, L) i32) -> (16, L).
@@ -228,7 +256,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                 half_ap * jnp.sqrt(jnp.maximum(sf - 0.5, 0.0) * (1.0 / denom)))
             r = jnp.where(sf == 0.0, 0.0, r)
             th = GOLDEN_ANGLE * sf
-            if "trig" in _ABLATE:  # ablation: measure sunflower trig cost
+            if "trig" in ablate:  # ablation: measure sunflower trig cost
                 cth = jnp.full((1, L), 0.6, jnp.float32)
                 sth = jnp.full((1, L), 0.8, jnp.float32)
             else:
@@ -311,11 +339,11 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             # TAKEN pl.when costs more than these small bodies when the
             # branch fires nearly every iteration (2048 lanes: some lane
             # finishes almost always).
-            _slflow = "slflow" in _ABLATE
+            _slflow = "slflow" in ablate
             _when = (lambda c: (lambda f: f())) if _slflow else (
                 lambda c: pl.when(c))
 
-            if "flush" in _ABLATE:  # ablation: measure flush cost
+            if "flush" in ablate:  # ablation: measure flush cost
                 pass
             elif order == "pixel":
                 @_when(jnp.any(fin))
@@ -332,6 +360,28 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                         seg = out_ref[c * NPIX : (c + 1) * NPIX]
                         out_ref[c * NPIX : (c + 1) * NPIX] = seg + jnp.where(
                             sel, vals[c], 0.0)
+            elif stage:
+                # Staged flush: PARK the finished round's accumulator in a
+                # small (4*stage, L) staging tile (rows = slot index) and
+                # only touch the full (4R, L) output tile when some lane's
+                # staging is full — the flush cost is tile-touch-bound
+                # (~1.6 us/iter measured, round 5), and batching ``stage``
+                # finishes amortizes the touch.
+                @_when(jnp.any(fin))
+                def _():
+                    ns = meta_sc[4:5]
+                    selS = (rowS == ns) & fin
+                    accs = acc_sc[:]
+                    for c in range(4):
+                        seg = stg_sc[c * stage : (c + 1) * stage]
+                        stg_sc[c * stage : (c + 1) * stage] = jnp.where(
+                            selS, accs[c : c + 1], seg)
+                    stgk_sc[:] = jnp.where(selS, k, stgk_sc[:])
+                    meta_sc[4:5] = ns + fin.astype(jnp.int32)
+
+                @pl.when(jnp.any(meta_sc[4:5] >= stage))
+                def _():
+                    _stage_drain()
             else:
                 @_when(jnp.any(fin))
                 def _():
@@ -381,7 +431,8 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                             cur[2:3], dx, dy, dz, cur[6:7], live, cur[7:8],
                             t_sc, obj_sc, None, None, n_groups=n_groups,
                             gr=gr, has_motion=has_motion, use_mxu=use_mxu,
-                            with_edge=False, cnt_ref=stat_ref)
+                            with_edge=False, cnt_ref=stat_ref,
+                            ablate=ablate, hot=hot)
             else:
                 from raytracing_tests_tpu.kernels.sweep2g import _sweep_loop_g
 
@@ -401,7 +452,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             # Hit blocks run the full shade; pure-miss (sky) blocks write
             # background only — lax.cond does not survive Mosaic, so the
             # branch goes through pl.when and a results scratch.
-            trig = (None if "nocarry" in _ABLATE
+            trig = (None if "nocarry" in ablate
                     else (trig_sc[0:1], trig_sc[1:2]))
 
             def _shade_vals():
@@ -439,7 +490,7 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
             slim = lambda a: jnp.concatenate(
                 [a[0:6], a[8 : 8 + (REC - 6)]], axis=0)
             F0 = 4 + 2 * REC  # spawn/white flag rows in the slim relay
-            if "slshade" in _ABLATE:
+            if "slshade" in ablate:
                 # Straight-line shade: no branch pair, no res_sc relay.
                 # _shade_hits/_shade_materials_k already handle miss lanes
                 # (they take the hit mask + background), so this is the
@@ -453,6 +504,33 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
                 spawn_refr = sr_b
                 spawn_refl = sl_b
                 white_b = wh_b
+            elif "shadestub" in ablate:
+                # Ablation: bound the shade body's in-situ cost — the
+                # gather/refine/probe/shade stack replaced by a constant
+                # "shade" that keeps a realistic tree shape (reflect while
+                # this round has taken < 3 nodes; WRONG image, measurement
+                # only).  Diff vs base at matched iteration mix = the
+                # whole _shade_vals cost.
+                mc = jnp.where(act, contrib, 0.0)
+                stub_spawn = hit & (cnt < 3)
+                childR = jnp.concatenate(
+                    [cur[0:3] + 0.1, cur[3:6], contrib * 0.5,
+                     cur[9:10] + 1.0]
+                    + ([cur[10:12]] if REC == 10 else []), axis=0)
+                res_sc[:] = jnp.concatenate(
+                    [mc * 0.5, mc * 0.5, mc * 0.5, tmax_row,
+                     childR, childR,
+                     jnp.zeros((1, L), jnp.float32),
+                     stub_spawn.astype(jnp.float32),
+                     jnp.zeros((1, L), jnp.float32)], axis=0)
+                res = res_sc[:]
+                add_r, add_g, add_b = res[0:1], res[1:2], res[2:3]
+                hit_t = res[3:4]
+                refrR = res[4 : 4 + REC]
+                reflR = res[4 + REC : 4 + 2 * REC]
+                spawn_refr = res[F0 : F0 + 1] > 0.5
+                spawn_refl = res[F0 + 1 : F0 + 2] > 0.5
+                white_b = res[F0 + 2 : F0 + 3] > 0.5
             else:
                 @pl.when(jnp.any(hit))
                 def _():
@@ -577,6 +655,11 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
 
         jax.lax.while_loop(lambda c: c[1] & (c[0] < max_iters), body,
                            (jnp.int32(0), jnp.bool_(True)))
+        if stage and order != "pixel":
+            # Rounds parked after the last drain trigger flush here.
+            @pl.when(jnp.any(stgk_sc[:] >= 0))
+            def _():
+                _stage_drain()
 
     return kernel
 
@@ -635,13 +718,14 @@ def pack_camera(camera, row_stride=1.0, row0=0.0):
     static_argnames=("cfg", "B", "L", "R", "gr", "use_mxu", "full_height",
                      "n_lights", "order", "tex_meta", "n_sgroups",
                      "gkinds", "tile", "n_focus", "rot_stride", "aa",
-                     "is_ortho"))
+                     "is_ortho", "ablate", "hot", "stage"))
 def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
                gr: int, use_mxu: bool, full_height: int = 0, lts=None,
                n_lights: int = 0, order: str = "sample", tex3=None,
                tex_meta=None, n_sgroups: int = 0, gkinds=None, tile=None,
                n_focus: int = 1, rot_stride: int = 0, aa=None,
-               is_ortho: bool = False):
+               is_ortho: bool = False, ablate: frozenset = frozenset(),
+               hot: int = 0, stage: int = 0):
     from raytracing_tests_tpu.kernels.sweep2 import PROBE_GR
 
     fhi, fmid, flo = ftab3
@@ -670,7 +754,8 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
         mode=cfg.pallas_mode, n_lights=n_lights, shading=cfg.shading,
         order=order, n_pgroups=n_pgroups, tex_meta=tex_meta,
         n_sgroups=n_sgroups, gkinds=gkinds, tile=tile, n_focus=n_focus,
-        rot_stride=rot_stride, aa=aa, is_ortho=is_ortho)
+        rot_stride=rot_stride, aa=aa, is_ortho=is_ortho, ablate=ablate,
+        hot=hot, stage=stage)
     lane_spec = lambda rows: pl.BlockSpec((rows, L), lambda i: (0, i),
                                           memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
@@ -705,10 +790,14 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
             # shade-results relay: color/depth head + two SLIM REC-row
             # child records + 3 flag rows (unused under straight-line
             # shade)
-            pltpu.VMEM((1 if "slshade" in _ABLATE else
+            pltpu.VMEM((1 if "slshade" in ablate else
                         4 + 2 * (10 if cfg.shading == "materials" else 8)
                         + 3, L), jnp.float32),
             pltpu.VMEM((2, L), jnp.float32),  # carried (cos, sin) of s
+            # staged-flush park tile + per-slot round indices (dummy 1-row
+            # refs when staging is off)
+            pltpu.VMEM((max(1, 4 * stage), L), jnp.float32),
+            pltpu.VMEM((max(1, stage), L), jnp.int32),
         ],
         interpret=_interpret(),
     )(*inputs)
@@ -717,7 +806,8 @@ def _uber_call(otab, ftab3, gaabb, cam, cfg, B: int, L: int, R: int,
 
 def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
                 gr: int = 32, use_mxu: bool = False, qcap=None,
-                order: str = "sample", tile=None):
+                order: str = "sample", tile=None, ablate=None, hot=0,
+                stage=0):
     """Full render via the persistent kernel;
     dict(image, depth, rays, rays_dropped).
 
@@ -833,7 +923,10 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
                                gkinds=getattr(accel, "gkinds", None),
                                tile=tile, n_focus=n_focus,
                                rot_stride=rot_stride, aa=aa,
-                               is_ortho=is_ortho)
+                               is_ortho=is_ortho,
+                               ablate=(_env_ablate() if ablate is None
+                                       else frozenset(ablate)), hot=hot,
+                               stage=stage)
     if order == "pixel":
         # out: (4*NPIX, NB*L) per-pixel sums of gamma'd samples (+ the mid
         # sample's depth in channel 3).  Global column j's first primary is

@@ -78,13 +78,16 @@ def main():
     def make(kw):
         kw = dict(kw)
         rot = kw.pop("rot", "")  # default: render_uber's spp gate
+        abl = kw.pop("abl", None)  # e.g. abl:flush+shadestub
         os.environ["UBER_ROT"] = str(rot)
         try:
             return render_uber(
                 s, c, cfg, lights=lights,
                 L=kw.pop("L", 2048), R=kw.pop("R", 96),
                 gr=kw.pop("gr", 64), qcap=kw.pop("qcap", base_qcap),
-                order=kw.pop("order", "sample"), **kw), rot
+                order=kw.pop("order", "sample"),
+                ablate=(frozenset(str(abl).split("+"))
+                        if abl is not None else frozenset([""])), **kw), rot
         finally:
             del os.environ["UBER_ROT"]
 
