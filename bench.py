@@ -160,28 +160,28 @@ def side_configs(chunk):
         intersector="pallas", **kw,
     ).for_scene(scene)
     out = {}
-    # Motion: the queue renderer wins on this small scene (38.6 vs 25.6
-    # Mrays/s for the best-tuned uber variant, round-4 in-process ladder)
-    # — the persistent kernel's fixed per-iteration path dominates
-    # 1-group scenes; see PERFORMANCE.md "small-scene crossover".
+    # Per-config renderer + (R[, L]) tunes from the round-5 post-dispatch-
+    # fix in-process ladders (PERFORMANCE.md facts 45-46).  Motion routes
+    # BACK to the persistent kernel: the round-4 "small-scene crossover"
+    # to the queue renderer (old fact 36) was the per-frame host-dispatch
+    # tax, not the kernel (uber 171.8 vs queue 42.5 Mrays/s same-window).
     s, c = examples.motion_blur_scene()
-    out["motion"] = (s, c, mk(s), None, "queue")
+    out["motion"] = (s, c, mk(s), None, ("uber", 32))
     s, c = examples.bvh_grid_scene(side=32)  # 1,025 objects, generic mode
     out["bvh1k"] = (s, c, mk(s), None, "uber")  # persistent generic kernel
     # Texturing: L=1024 (L=2048 with the VMEM-resident atlas splits OOMs
-    # scoped VMEM); R=64 won the round-4 in-process ladder (21.3 vs 18.7
-    # at R=96 — the flush tile scales with R, fact 32).
+    # scoped VMEM); R-insensitive post-fix (90.6-91.1 at R32/48/64).
     s, c = examples.texturing_scene()
     out["texturing"] = (s, c, mk(s), None, ("uber", 64, 1024))
-    # Lights: R=64 (R=96 is near the scoped-VMEM limit and measured 35%
-    # slower at the same iteration count; round-4 ladder: R64 > R96 >
-    # R48).  The spp<=32 lane rotation cuts the drain x1.78 -> x1.25.
+    # Lights: R64 ~ R96 (106.7 / 105.8); the spp<=32 lane rotation's
+    # drain cut is real wall clock post-fix (rot-on 106.7 vs off 102.8).
     s, c = examples.lights_scene()
     out["lights"] = (s, c, mk(s), extract_lights(s), ("uber", 64))
     # Extra (beyond BASELINE.json's five): the IOW-03 materials shading
-    # model on the persistent kernel.
+    # model on the persistent kernel.  R48 won the round-5 ladder (148.4
+    # vs 117.3 at R96).
     s, c = examples.materials_scene()
-    out["materials"] = (s, c, mk(s, shading="materials"), None, "uber")
+    out["materials"] = (s, c, mk(s, shading="materials"), None, ("uber", 48))
     return out
 
 
@@ -249,15 +249,13 @@ def main():
     ).for_scene(scene)
     renderer = os.environ.get("BENCH_RENDERER", "uber")
 
-    # stage=4: staged flush, +4-8% on the headline in both round-5 A/B
-    # windows (PERFORMANCE.md fact 44; neutral-to-negative on the spp=16
-    # side configs, so headline-only).  n_iters=8: the tunnel's dispatch
-    # weather is bimodal (facts 24/37) — more draws give the honest
-    # best-frame a fair chance at the fast mode, and the mean is reported
-    # alongside either way.
+    # n_iters=8: more draws for the best-frame statistic; with the round-5
+    # dispatch fixes (fact 45: jitted epilogue + identity-keyed packing
+    # caches) frame times are stable to ~0.3%, so best ~= med ~= mean.
+    # stage (the staged flush, fact 44) measured neutral kernel-only and
+    # stays off.
     head = time_config(scene, camera, cfg, renderer, chunk,
-                       n_iters=1 if smoke else 8,
-                       stage=4 if renderer == "uber" else 0)
+                       n_iters=1 if smoke else 8)
     assert head["rays_dropped"] == 0, head  # honest ray accounting
     mrays = head["mrays_per_s"]
 

@@ -72,6 +72,13 @@ CAM_LEN = 24  # padded
 
 import os as _os
 
+# Identity-keyed packing caches (see render_uber): bounded FIFO; a cache
+# hit PROVES the inputs are the same live arrays (ids are unique among
+# live objects and the stored strong refs keep them alive).
+_ACCEL_CACHE: dict = {}
+_ATLAS_CACHE: dict = {}
+
+
 def _env_ablate() -> frozenset:
     """Default ablation set from UBER_ABLATE (read per render call so
     in-process A/Bs can pass ``ablate=`` explicitly instead)."""
@@ -855,7 +862,15 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     if scene.textures is not None:
         from raytracing_tests_tpu.kernels.texture import pack_atlas
 
-        tex3, tex_meta = pack_atlas(scene.textures)
+        tk = id(scene.textures)
+        hit_t = _ATLAS_CACHE.get(tk)
+        if hit_t is not None and hit_t[0] is scene.textures:
+            tex3, tex_meta = hit_t[1], hit_t[2]
+        else:
+            tex3, tex_meta = pack_atlas(scene.textures)
+            if len(_ATLAS_CACHE) >= 4:
+                _ATLAS_CACHE.pop(next(iter(_ATLAS_CACHE)))
+            _ATLAS_CACHE[tk] = (scene.textures, tex3, tex_meta)
     else:
         tex3, tex_meta = None, None
     # Small scenes: clamp the group size to the (static) capacity — a
@@ -892,17 +907,41 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
         probe_mask = probe_relevant_rows(scene)
         if probe_mask is not None:
             probe_rows = int(probe_mask.sum())
-    if cfg.pallas_mode == "spheres":
-        accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
-                            sort_origin=camera.position,
-                            probe_rows=probe_rows, probe_mask=probe_mask)
+    # Accel/camera/atlas packing runs EAGERLY — through the tunnel every
+    # eager op is a ~ms-scale dispatch, and a static scene repacked per
+    # frame was a large share of short frames (round 5, with the eager
+    # epilogue).  Identity-keyed result caches make repeat frames two
+    # dispatches total (kernel + fused epilogue); any replace()d scene or
+    # moved camera misses the cache and repacks, so mutation stays exactly
+    # as the reference's rebuild-on-change (base.h:106-144).
+    ck = (id(scene.position), id(camera.position), gr, cfg.has_motion,
+          cfg.pallas_mode, probe_rows)
+    deps = (tuple(jax.tree_util.tree_leaves(scene))
+            + tuple(jax.tree_util.tree_leaves(camera)))
+    if any(isinstance(x, jax.core.Tracer) for x in deps):
+        ck = None  # traced build (jit'd caller): never cache tracers
+    hit_c = _ACCEL_CACHE.get(ck)
+    if (hit_c is not None and len(hit_c[0]) == len(deps)
+            and all(a is b for a, b in zip(hit_c[0], deps))):
+        accel, cam = hit_c[1], hit_c[2]
     else:
-        from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
+        if cfg.pallas_mode == "spheres":
+            accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
+                                sort_origin=camera.position,
+                                probe_rows=probe_rows,
+                                probe_mask=probe_mask)
+        else:
+            from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
 
-        accel = make_accel2g(scene, gr=gr, has_motion=cfg.has_motion,
-                             sort_origin=camera.position,
-                             probe_rows=probe_rows, probe_mask=probe_mask)
-    cam = pack_camera(camera)
+            accel = make_accel2g(scene, gr=gr, has_motion=cfg.has_motion,
+                                 sort_origin=camera.position,
+                                 probe_rows=probe_rows,
+                                 probe_mask=probe_mask)
+        cam = pack_camera(camera)
+        if ck is not None:
+            if len(_ACCEL_CACHE) >= 8:
+                _ACCEL_CACHE.pop(next(iter(_ACCEL_CACHE)))
+            _ACCEL_CACHE[ck] = (deps, accel, cam)
     # Per-round lane rotation (see pof): decorrelates lanes from image
     # columns so no lane is pinned to an expensive column family every
     # round (lights drain x1.78 -> ~1.1).  Bijective within each round —
@@ -927,6 +966,25 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
                                ablate=(_env_ablate() if ablate is None
                                        else frozenset(ablate)), hot=hot,
                                stage=stage)
+    # ONE jitted epilogue call: run eagerly, the ~12 transpose / gather /
+    # finalize / reduction ops below each paid a tunneled dispatch
+    # (fact 3: ~ms-25 ms apiece) — up to 40% of a short side-config
+    # frame was host dispatch, misattributed to the kernel (round 5).
+    return _uber_post(out, stat, cfg, B=B, L=L, R=R,
+                      NB=-(-B // (R * L)),  # host int (the jit returns NB
+                      order=order,          # as a device scalar)
+                      rot_stride=rot_stride, tile=tile)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "B", "L", "R", "NB", "order", "rot_stride",
+                     "tile"))
+def _uber_post(out, stat, cfg, *, B, L, R, NB, order, rot_stride, tile):
+    """Device-side epilogue: kernel tile -> dict(image, depth, counters)."""
+    from raytracing_tests_tpu.ops.render import finalize
+
+    H, W, S = cfg.height, cfg.width, cfg.spp
     if order == "pixel":
         # out: (4*NPIX, NB*L) per-pixel sums of gamma'd samples (+ the mid
         # sample's depth in channel 3).  Global column j's first primary is
@@ -965,6 +1023,7 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
             # Unpermute the tiled pixel order back to row-major: kernel
             # pixel i rendered actual pixel pixdst[i] (same bijection as
             # raygen); one static gather each for image and depth.
+            tw, th = tile
             q = np.arange(H * W)
             TPR, PPT = W // tw, tw * th
             t_i, w_i = q // PPT, q % PPT
