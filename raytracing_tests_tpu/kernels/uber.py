@@ -954,26 +954,42 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     if (order == "sample" and (L & (L - 1)) == 0
             and (rot_env == "1" or (rot_env != "0" and cfg.spp <= 32))):
         rot_stride = 997
-    out, stat, NB = _uber_call(accel.otab, accel.ftab3, accel.gaabb, cam,
-                               cfg, B, L, R, gr, use_mxu, lts=lts,
-                               n_lights=n_lights, order=order, tex3=tex3,
-                               tex_meta=tex_meta,
-                               n_sgroups=getattr(accel, "n_sgroups", 0),
-                               gkinds=getattr(accel, "gkinds", None),
-                               tile=tile, n_focus=n_focus,
-                               rot_stride=rot_stride, aa=aa,
-                               is_ortho=is_ortho,
-                               ablate=(_env_ablate() if ablate is None
-                                       else frozenset(ablate)), hot=hot,
-                               stage=stage)
-    # ONE jitted epilogue call: run eagerly, the ~12 transpose / gather /
-    # finalize / reduction ops below each paid a tunneled dispatch
-    # (fact 3: ~ms-25 ms apiece) — up to 40% of a short side-config
-    # frame was host dispatch, misattributed to the kernel (round 5).
-    return _uber_post(out, stat, cfg, B=B, L=L, R=R,
-                      NB=-(-B // (R * L)),  # host int (the jit returns NB
-                      order=order,          # as a device scalar)
-                      rot_stride=rot_stride, tile=tile)
+    return _uber_frame(accel.otab, accel.ftab3, accel.gaabb, cam,
+                       cfg, B, L, R, gr, use_mxu, lts=lts,
+                       n_lights=n_lights, order=order, tex3=tex3,
+                       tex_meta=tex_meta,
+                       n_sgroups=getattr(accel, "n_sgroups", 0),
+                       gkinds=getattr(accel, "gkinds", None),
+                       tile=tile, n_focus=n_focus,
+                       rot_stride=rot_stride, aa=aa,
+                       is_ortho=is_ortho,
+                       ablate=(_env_ablate() if ablate is None
+                               else frozenset(ablate)), hot=hot,
+                       stage=stage)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "B", "L", "R", "gr", "use_mxu", "n_lights",
+                     "order", "tex_meta", "n_sgroups", "gkinds", "tile",
+                     "n_focus", "rot_stride", "aa", "is_ortho", "ablate",
+                     "hot", "stage"))
+def _uber_frame(otab, ftab3, gaabb, cam, cfg, B, L, R, gr, use_mxu,
+                lts=None, n_lights=0, order="sample", tex3=None,
+                tex_meta=None, n_sgroups=0, gkinds=None, tile=None,
+                n_focus=1, rot_stride=0, aa=None, is_ortho=False,
+                ablate=frozenset(), hot=0, stage=0):
+    """Kernel + epilogue under ONE jit = one dispatch per frame (the inner
+    jits inline at trace time).  ~ms per frame through the tunnel — a
+    measurable share of the short side-config frames."""
+    out, stat, _ = _uber_call(
+        otab, ftab3, gaabb, cam, cfg, B, L, R, gr, use_mxu, lts=lts,
+        n_lights=n_lights, order=order, tex3=tex3, tex_meta=tex_meta,
+        n_sgroups=n_sgroups, gkinds=gkinds, tile=tile, n_focus=n_focus,
+        rot_stride=rot_stride, aa=aa, is_ortho=is_ortho, ablate=ablate,
+        hot=hot, stage=stage)
+    return _uber_post(out, stat, cfg, B=B, L=L, R=R, NB=-(-B // (R * L)),
+                      order=order, rot_stride=rot_stride, tile=tile)
 
 
 @functools.partial(
