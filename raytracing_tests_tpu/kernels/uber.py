@@ -77,6 +77,7 @@ import os as _os
 # live objects and the stored strong refs keep them alive).
 _ACCEL_CACHE: dict = {}
 _ATLAS_CACHE: dict = {}
+_LIGHTS_CACHE: dict = {}
 
 
 def _env_ablate() -> frozenset:
@@ -683,9 +684,16 @@ def _assert_perspective(camera):
 
 def pack_lights(lights):
     """Lights SoA -> ((n_lights, 8) f32 SMEM rows [bb_min xyz, bb_max xyz,
-    diag, 0], n_lights).  Host-side (concrete mask); padding rows trimmed."""
+    diag, 0], n_lights).  Host-side (concrete mask); padding rows trimmed.
+    Identity-cached: the np->device transfer is a per-frame tunneled
+    dispatch otherwise (fact 45)."""
     if lights is None:
         return None, 0
+    lk = id(lights.mask)
+    hit = _LIGHTS_CACHE.get(lk)
+    if (hit is not None and hit[0][0] is lights.mask
+            and hit[0][1] is lights.bb_min and hit[0][2] is lights.bb_max):
+        return hit[1], hit[2]
     mask = np.asarray(lights.mask)
     idx = np.nonzero(mask)[0]
     if idx.size == 0:
@@ -697,7 +705,12 @@ def pack_lights(lights):
     rows[:, 0:3] = mn
     rows[:, 3:6] = mx
     rows[:, 6] = diag
-    return jnp.asarray(rows), int(idx.size)
+    packed = (jnp.asarray(rows), int(idx.size))
+    if len(_LIGHTS_CACHE) >= 4:
+        _LIGHTS_CACHE.pop(next(iter(_LIGHTS_CACHE)))
+    _LIGHTS_CACHE[lk] = ((lights.mask, lights.bb_min, lights.bb_max),
+                         packed[0], packed[1])
+    return packed
 
 
 def pack_camera(camera, row_stride=1.0, row0=0.0):
