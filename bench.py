@@ -299,9 +299,10 @@ def main():
     if parity_ok is not None:
         line["parity_ok"] = parity_ok
     print(json.dumps(line))
-    with open("bench_details.json", "w") as f:
-        json.dump(details, f, indent=2)
-        f.write("\n")
+    if not smoke:  # a smoke run must not clobber the real artifact
+        with open("bench_details.json", "w") as f:
+            json.dump(details, f, indent=2)
+            f.write("\n")
     if parity_ok is False:
         raise SystemExit("parity canary FAILED: " +
                          json.dumps(details["parity_canary"]))

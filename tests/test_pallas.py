@@ -682,3 +682,30 @@ def test_uber_aa_grid_and_ortho_match_queue():
     assert (np.abs(iq2 - iu2).max(axis=-1) > 0.05).mean() < 0.03
     op = render_uber(s2, c2, cfg2, L=256, R=6, gr=16)  # perspective
     assert float(np.abs(np.asarray(op["image"]) - iu2).max()) > 1e-3
+
+
+def test_uber_staged_flush_bitwise_and_caches():
+    """Round-5 knobs: the staged flush (stage=4) must be BITWISE identical
+    to the per-finish flush (each out cell receives exactly one addition),
+    and the identity-keyed packing caches must invalidate on any scene
+    mutation (fact 44/45)."""
+    from raytracing_tests_tpu.kernels.uber import render_uber
+
+    scene, cam = examples.iow_final_scene(side=4)
+    cfg = RenderConfig(width=48, height=24, spp=4, max_bounces=5,
+                       intersector="pallas").for_scene(scene)
+    o0 = render_uber(scene, cam, cfg, L=256, R=8, gr=32)
+    o4 = render_uber(scene, cam, cfg, L=256, R=8, gr=32, stage=4)
+    assert (np.asarray(o0["image"]) == np.asarray(o4["image"])).all()
+    assert (np.asarray(o0["depth"]) == np.asarray(o4["depth"])).all()
+    assert int(o0["rays"]) == int(o4["rays"])
+    # stage=3 with R=8: the final post-loop drain covers partial staging.
+    o3 = render_uber(scene, cam, cfg, L=256, R=8, gr=32, stage=3)
+    assert (np.asarray(o0["image"]) == np.asarray(o3["image"])).all()
+    # Cache invalidation: a replace()d scene must re-render differently.
+    s2 = scene.replace(color=np.asarray(scene.color) * 0.2)
+    o2 = render_uber(s2, cam, cfg, L=256, R=8, gr=32)
+    assert np.abs(np.asarray(o2["image"]) - np.asarray(o0["image"])).max() > 0.05
+    # And the original still hits its cache with the original image.
+    oh = render_uber(scene, cam, cfg, L=256, R=8, gr=32)
+    assert (np.asarray(oh["image"]) == np.asarray(o0["image"])).all()
