@@ -195,7 +195,8 @@ def grad_config(chunk):
     number is the backward's cost factor)."""
     import jax.numpy as jnp
 
-    from raytracing_tests_tpu.diff import banded_value_and_grad, extract_params
+    from raytracing_tests_tpu.diff import (banded_value_and_grad,
+                                           extract_params, probe_band_pops)
 
     scene, cam = examples.iow_final_scene()
     cfg = RenderConfig(width=800, height=450, spp=16, max_bounces=8,
@@ -210,7 +211,12 @@ def grad_config(chunk):
     # (the banded-backward memory bound; 25 bands at this config).
     want = max(1, -(-cfg.width * cfg.height * cfg.spp // 300_000))
     bands = min(b for b in range(want, cfg.height + 1) if cfg.height % b == 0)
-    gr = jax.jit(banded_value_and_grad(pert, cam, cfg, grad_bands=bands))
+    # Probed per-band reverse-scan depths (+2 drift margin): exact, and
+    # sky bands stop paying the glass bands' 17-pop budget
+    # (diff.train.probe_band_pops; iow-final mean band depth 12.1).
+    pops = [p + 2 for p in probe_band_pops(pert, cam, cfg, bands)]
+    gr = jax.jit(banded_value_and_grad(pert, cam, cfg, grad_bands=bands,
+                                       band_pops=pops))
     out = gr(p, target)  # compile + warm
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -222,6 +228,7 @@ def grad_config(chunk):
         "mrays_equiv_per_s": round(rays / dt / 1e6, 2),
         "rays_forward": rays,
         "grad_bands": bands,
+        "grad_band_pops": pops,
         "loss": float(out[0]),
         "size": f"{cfg.width}x{cfg.height}x{cfg.spp}spp d{cfg.max_bounces}",
         "path": "banded fastpath (detached winners + closed-form recompute)",
@@ -284,11 +291,15 @@ def main():
                     details["configs"][name] = {
                         "error": f"{type(e).__name__}: {e}"}
         if os.environ.get("BENCH_SKIP_GRAD") != "1":
-            try:
-                details["configs"]["grad"] = grad_config(chunk)
-            except Exception as e:
-                details["configs"]["grad"] = {
-                    "error": f"{type(e).__name__}: {e}"}
+            # One retry: the tunnel's remote-compile endpoint occasionally
+            # drops a long compile mid-body (transient INTERNAL errors).
+            for attempt in (0, 1):
+                try:
+                    details["configs"]["grad"] = grad_config(chunk)
+                    break
+                except Exception as e:
+                    details["configs"]["grad"] = {
+                        "error": f"{type(e).__name__}: {e}"}
 
     line = {
         "metric": f"Mrays/s/chip {'smoke' if smoke else 'iow-final'} {width}x{height}x{spp}spp d{cfg.max_bounces}",

@@ -16,6 +16,8 @@ from raytracing_tests_tpu.diff.params import (  # noqa: F401
 from raytracing_tests_tpu.diff.train import (  # noqa: F401
     TrainState,
     banded_value_and_grad,
+    probe_band_pops,
+    probe_max_pops,
     make_train_step,
     render_loss,
 )

@@ -76,12 +76,81 @@ def render_loss(
     return jnp.mean((out["image"] - target) ** 2)
 
 
+def probe_max_pops(scene: Scene, camera: Camera, cfg: RenderConfig,
+                   lights: Optional[Lights] = None) -> int:
+    """Pop steps the deepest ray tree of this (scene, camera, cfg) actually
+    needs — the early-exit forward's exit count, measured on the full
+    frame (a detached ~0.2 s render at BASELINE scale).
+
+    The gradient path cannot early-exit (reverse-mode needs a static scan
+    length), so it otherwise runs the full ``cfg.pops`` budget (17 at
+    depth 8) while typical scenes top out at 8-10: a probed scan length
+    cuts the gradient step proportionally and is EXACT for this scene —
+    the remaining scan steps would process empty queues.  Training moves
+    the scene, so ``make_train_step(auto_pops=True)`` adds a +2 margin and
+    the caller should re-probe if object topology changes drastically."""
+    from raytracing_tests_tpu.ops.render import _build_accel, trace_lanes
+    from raytracing_tests_tpu.ops.camera_rays import primary_rays
+
+    cfg = _diff_cfg(cfg)
+    cfg = dataclasses.replace(cfg, diff_mode=False, early_exit=True)
+    H, W, S = cfg.height, cfg.width, cfg.spp
+    o, d, tr = primary_rays(camera, W, H, S)
+    sidx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.float32), (H, W, S))
+    flat = lambda x: x.reshape((-1,) + x.shape[3:])
+
+    @jax.jit
+    def probe(scene_, lights_, ob, db, rb, sb):
+        accel = _build_accel(scene_, cfg)
+        return trace_lanes(scene_, lights_, cfg, flat(ob), flat(db),
+                           flat(rb), flat(sb), accel, return_pops=True)[4]
+
+    return int(probe(scene, lights, o, d, tr, sidx))
+
+
+def probe_band_pops(scene: Scene, camera: Camera, cfg: RenderConfig,
+                    grad_bands: int,
+                    lights: Optional[Lights] = None) -> list:
+    """Per-row-band version of ``probe_max_pops``: the true max ray-tree
+    depth of each of ``grad_bands`` bands (one compiled probe reused for
+    all bands).  Sky-only bands measure 1; glass-heavy bands run to the
+    budget — ``banded_value_and_grad(band_pops=...)`` buckets the
+    reverse-mode scans by these so shallow bands stop paying the deepest
+    band's scan length (iow-final at 25 bands: mean depth 12.1 vs the
+    17-pop budget)."""
+    from raytracing_tests_tpu.ops.render import _build_accel, trace_lanes
+    from raytracing_tests_tpu.ops.camera_rays import primary_rays
+
+    cfg = _diff_cfg(cfg)
+    cfg = dataclasses.replace(cfg, diff_mode=False, early_exit=True)
+    H, W, S = cfg.height, cfg.width, cfg.spp
+    assert H % grad_bands == 0, (H, grad_bands)
+    h = H // grad_bands
+    o, d, tr = primary_rays(camera, W, H, S)
+    sidx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.float32), (H, W, S))
+
+    @jax.jit
+    def probe(scene_, lights_, ob, db, rb, sb):
+        flat = lambda x: x.reshape((h * W * S,) + x.shape[3:])
+        accel = _build_accel(scene_, cfg)
+        return trace_lanes(scene_, lights_, cfg, flat(ob), flat(db),
+                           flat(rb), flat(sb), accel, return_pops=True)[4]
+
+    out = []
+    for b in range(grad_bands):
+        sl = slice(b * h, (b + 1) * h)
+        out.append(int(probe(scene, lights, o[sl], d[sl], tr[sl], sidx[sl])))
+    return out
+
+
 def banded_value_and_grad(
     template: Scene,
     camera: Camera,
     cfg: RenderConfig,
     lights: Optional[Lights] = None,
     grad_bands: int = 8,
+    grad_pops: Optional[int] = None,
+    band_pops=None,
 ):
     """Gradient ACCUMULATION over image row bands: ``f(params, target) ->
     (loss, grads)`` identical to ``value_and_grad(render_loss)`` (the MSE
@@ -96,10 +165,41 @@ def banded_value_and_grad(
     from raytracing_tests_tpu.ops.camera_rays import primary_rays
     from raytracing_tests_tpu.ops.render import _build_accel, finalize, trace_lanes
 
+    import numpy as np
+
     cfg = _diff_cfg(cfg)
+    if grad_pops is not None:
+        # Probed scan length (see probe_max_pops): EXACT when >= the
+        # scene's true max tree depth — the cut steps only pop empty
+        # queues.  cfg.pops clamps it from above.
+        cfg = dataclasses.replace(cfg,
+                                  max_pops=min(int(grad_pops), cfg.pops))
     H, W, S = cfg.height, cfg.width, cfg.spp
     assert H % grad_bands == 0, (H, grad_bands)
     h = H // grad_bands
+
+    # Depth-bucketed scans (see probe_band_pops): group bands into <= 3
+    # buckets by probed depth; each bucket scans its bands at ITS max
+    # depth, so sky bands stop paying the glass bands' scan length.
+    # Exact per bucket; only the (commutative) accumulation order differs
+    # from the flat scan.
+    buckets = None
+    if band_pops is not None:
+        assert len(band_pops) == grad_bands, (len(band_pops), grad_bands)
+        caps = np.minimum(np.asarray(band_pops, np.int64), cfg.pops)
+        ceilings = sorted(set(int(c) for c in caps))
+        while len(ceilings) > 3:  # merge the two closest ceilings
+            gaps = np.diff(ceilings)
+            i = int(np.argmin(gaps))
+            ceilings.pop(i)  # bands under the removed ceiling run deeper
+        buckets = []
+        prev = 0
+        for ceil in ceilings:
+            idxs = tuple(int(b) for b in range(grad_bands)
+                         if prev < caps[b] <= ceil)
+            if idxs:
+                buckets.append((int(ceil), idxs))
+            prev = ceil
 
     def f(params, target):
         o, d, time_ratio = primary_rays(camera, W, H, S)
@@ -108,25 +208,39 @@ def banded_value_and_grad(
         o, d, time_ratio, sidx = (band(x) for x in (o, d, time_ratio, sidx))
         target_b = target.reshape(grad_bands, h, W, 3)
 
-        def band_sse(p, ob, db, rb, sb, tb):
-            scene = apply_params(template, p)
-            accel = _build_accel(scene, cfg)
-            flat = lambda x: x.reshape((h * W * S,) + x.shape[3:])
-            color, primary_t, rays, _ = trace_lanes(
-                scene, lights, cfg, flat(ob), flat(db), flat(rb), flat(sb),
-                accel)
-            out = finalize(color.reshape(h, W, S, 3),
-                           primary_t.reshape(h, W, S), cfg)
-            return jnp.sum((out["image"] - tb) ** 2)
+        def band_sse(cfg_c):
+            def g(p, ob, db, rb, sb, tb):
+                scene = apply_params(template, p)
+                accel = _build_accel(scene, cfg_c)
+                flat = lambda x: x.reshape((h * W * S,) + x.shape[3:])
+                color, primary_t, rays, _ = trace_lanes(
+                    scene, lights, cfg_c, flat(ob), flat(db), flat(rb),
+                    flat(sb), accel)
+                out = finalize(color.reshape(h, W, S, 3),
+                               primary_t.reshape(h, W, S), cfg_c)
+                return jnp.sum((out["image"] - tb) ** 2)
+            return g
 
-        def body(carry, xs):
-            sse, g = carry
-            s_b, g_b = jax.value_and_grad(band_sse)(params, *xs)
-            return (sse + s_b, jax.tree.map(jnp.add, g, g_b)), None
+        def scan_bands(cfg_c, carry, xs):
+            def body(c, x):
+                sse, g = c
+                s_b, g_b = jax.value_and_grad(band_sse(cfg_c))(params, *x)
+                return (sse + s_b, jax.tree.map(jnp.add, g, g_b)), None
+            return jax.lax.scan(body, carry, xs)[0]
 
         zero = (jnp.zeros(()), jax.tree.map(jnp.zeros_like, params))
-        (sse, grads), _ = jax.lax.scan(
-            body, zero, (o, d, time_ratio, sidx, target_b))
+        if buckets is None:
+            sse, grads = scan_bands(
+                cfg, zero, (o, d, time_ratio, sidx, target_b))
+        else:
+            sse, grads = zero
+            for ceil, idxs in buckets:
+                sel = np.asarray(idxs)
+                cfg_c = dataclasses.replace(cfg, max_pops=ceil)
+                sse, grads = scan_bands(
+                    cfg_c, (sse, grads),
+                    tuple(x[sel] for x in (o, d, time_ratio, sidx,
+                                           target_b)))
         n = H * W * 3
         return sse / n, jax.tree.map(lambda x: x / n, grads)
 
@@ -158,6 +272,7 @@ def make_train_step(
     lights: Optional[Lights] = None,
     trainable: Optional[SceneParams] = None,
     grad_bands: int = 1,
+    auto_pops: bool = False,
 ):
     """Build the jitted full training step: value_and_grad -> optax update.
 
@@ -175,11 +290,25 @@ def make_train_step(
     (``banded_value_and_grad``): identical loss/grads, 1/bands the
     backward's peak memory — required for BASELINE-scale frames on one
     chip (single-device only).
+
+    ``auto_pops`` (banded only): probe the scene's true max ray-tree
+    depth with the early-exit forward and run the reverse-mode scan at
+    that length instead of the full ``cfg.pops`` budget — exact for the
+    probed scene (the cut steps only pop empty queues), ~1.7x the
+    gradient step at depth 8 (``probe_max_pops``).
     """
     if grad_bands > 1:
         assert mesh is None, "grad_bands composes with single-device only"
+        band_pops = None
+        if auto_pops:
+            # Probed per-band scan depths + 2-step margin for training
+            # drift (scene edits can deepen trees slightly; a topology
+            # change warrants a fresh make_train_step).
+            band_pops = [p + 2 for p in probe_band_pops(
+                template, camera, cfg, grad_bands, lights)]
         vg = banded_value_and_grad(template, camera, cfg, lights,
-                                   grad_bands=grad_bands)
+                                   grad_bands=grad_bands,
+                                   band_pops=band_pops)
 
     @jax.jit
     def step(state: TrainState, target):

@@ -37,6 +37,14 @@ shift, fibonacci-hemisphere scatter), with cube-sphere atlas texturing
 in-kernel (``kernels/texture``: factored one-hot MXU gathers — the
 sampler-array of 03_Texturing glsl:9-10).  ``ops.render`` remains the
 general path (normals view; traced orthographic cameras).
+
+Host discipline (round 5, PERFORMANCE.md fact 45): a frame is exactly ONE
+device dispatch — kernel + epilogue trace together under ``_uber_frame``,
+and the accel/camera/atlas/lights packs are identity-cached (a mutated
+scene repacks, the reference's rebuild-on-change).  Per-call perf knobs,
+all A/B'd in-process (``scripts/ab.py``): ``stage`` (staged round flush,
+fact 44), ``hot`` (straight-lined near groups, fact 41), ``ablate``
+(measurement ablations), ``tile``/``order``/``qcap``/``use_mxu``.
 """
 
 from __future__ import annotations

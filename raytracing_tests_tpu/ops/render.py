@@ -764,12 +764,17 @@ def _build_accel(scene, cfg: RenderConfig):
     return None
 
 
-def trace_lanes(scene, lights, cfg: RenderConfig, o, d, time_ratio, sample_idx, accel=None):
+def trace_lanes(scene, lights, cfg: RenderConfig, o, d, time_ratio, sample_idx, accel=None,
+                return_pops: bool = False):
     """Trace a flat batch of lanes. ``o, d: (B, 3)``; returns
     ``(color (B, 3), primary_t (B,), rays (scalar i32), dropped (scalar i32))``
     where ``rays`` counts the rays actually processed (active pops) — the
     honest rays/s numerator — and ``dropped`` counts children lost to the
-    fixed queue capacity (the reference stack drops the same rays)."""
+    fixed queue capacity (the reference stack drops the same rays).
+
+    ``return_pops``: append the number of pop steps actually taken (the
+    early-exit ``k``; == ``cfg.pops`` under the scan) — the probe behind
+    ``diff.train.probe_max_pops``."""
     B = o.shape[0]
     if accel is None and cfg.intersector != "brute":
         accel = _build_accel(scene, cfg)
@@ -804,14 +809,16 @@ def trace_lanes(scene, lights, cfg: RenderConfig, o, d, time_ratio, sample_idx, 
 
     init = (queue, state, jnp.int32(0), jnp.int32(0), jnp.int32(0))
     if cfg.early_exit:
-        queue, state, rays, dropped, _ = jax.lax.while_loop(
+        queue, state, rays, dropped, k_used = jax.lax.while_loop(
             lambda c: (c[4] < cfg.pops) & jnp.any(c[0].size > 0), step, init
         )
     else:
-        (queue, state, rays, dropped, _), _ = jax.lax.scan(
+        (queue, state, rays, dropped, k_used), _ = jax.lax.scan(
             lambda c, _: (step(c), None), init, None, length=cfg.pops
         )
     color, depth, done, primary_t = state
+    if return_pops:
+        return color, primary_t, rays, dropped, k_used
     return color, primary_t, rays, dropped
 
 
@@ -916,6 +923,15 @@ def finalize(colors, depths, cfg: RenderConfig):
     """Per-sample gamma then mean over the sample axis; mid-sample depth."""
     if cfg.show_normals:
         image = jnp.mean(colors, axis=2)
+    elif cfg.diff_mode:
+        # Gradient-safe gamma: sqrt(maximum(x, 0)) backward is
+        # 0.5/sqrt(0) * 0 = inf * 0 = NaN wherever a trained color drives
+        # a sample's accumulated channel NEGATIVE (observed poisoning adam
+        # state 5 steps into color recovery).  The 1e-12 floor makes the
+        # clamped branch's gradient an exact 0 (the max picks the constant
+        # side) at a sqrt(1e-12) = 1e-6 image bias on pure-black samples —
+        # diff mode only, the forward render stays bit-exact.
+        image = jnp.mean(jnp.sqrt(jnp.maximum(colors, 1e-12)), axis=2)
     else:
         image = jnp.mean(jnp.sqrt(jnp.maximum(colors, 0.0)), axis=2)
     depth = depths[:, :, cfg.spp // 2]  # the reference stores the mid sample

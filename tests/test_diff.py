@@ -335,3 +335,104 @@ def test_pixel_grad_allclose_vs_cpu_ref():
 
     check("color", (2, 0), 2e-3, 2e-2)
     check("refractive_index", (1,), 1e-3, 5e-2)
+
+
+def test_probed_grad_pops_is_exact():
+    """auto_pops (round 5): the probed reverse-scan length must reproduce
+    the full-budget loss AND gradients exactly — the cut steps only pop
+    empty queues (probe_max_pops measures the early-exit forward's true
+    max tree depth)."""
+    import jax.numpy as jnp
+
+    from raytracing_tests_tpu.diff import (banded_value_and_grad,
+                                           extract_params, probe_max_pops)
+
+    scene, cam = examples.iow_final_scene(side=4)
+    cfg = RenderConfig(width=32, height=24, spp=2, max_bounces=8,
+                       intersector="pallas").for_scene(scene)
+    pops = probe_max_pops(scene, cam, cfg)
+    assert 0 < pops < cfg.pops  # the probe must actually cut (17 -> ~8)
+
+    target = jnp.zeros((24, 32, 3), jnp.float32)
+    p = extract_params(scene.replace(color=scene.color * 0.9))
+    full = banded_value_and_grad(scene, cam, cfg, grad_bands=4)(p, target)
+    cut = banded_value_and_grad(scene, cam, cfg, grad_bands=4,
+                                grad_pops=pops)(p, target)
+    assert float(full[0]) == float(cut[0])
+    for a, b in zip(jax.tree_util.tree_leaves(full[1]),
+                    jax.tree_util.tree_leaves(cut[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_step_auto_pops_runs():
+    import optax
+
+    from raytracing_tests_tpu.diff import (TrainState, make_train_step,
+                                           params_mask)
+    from raytracing_tests_tpu.ops.render import render
+
+    scene, cam = examples.materials_scene()
+    cfg = RenderConfig(width=16, height=12, spp=1, max_bounces=6,
+                       intersector="pallas").for_scene(scene)
+    target = render(scene, cam, cfg)["image"]
+    pert = scene.replace(color=scene.color * 0.7)
+    opt = optax.adam(1e-2)
+    step = make_train_step(pert, cam, cfg, opt, grad_bands=2,
+                           auto_pops=True,
+                           trainable=params_mask(pert, "color"))
+    st = TrainState.create(pert, opt)
+    st, l0 = step(st, target)
+    st, l1 = step(st, target)
+    assert float(l1) < float(l0)
+
+
+def test_band_pops_buckets_are_exact():
+    """Depth-bucketed banded gradients must match the flat scan to float
+    accumulation order (the bucket scans are exact per band; only the
+    cross-band summation order changes)."""
+    import jax.numpy as jnp
+
+    from raytracing_tests_tpu.diff import (banded_value_and_grad,
+                                           extract_params, probe_band_pops)
+
+    scene, cam = examples.iow_final_scene(side=4)
+    cfg = RenderConfig(width=32, height=24, spp=2, max_bounces=8,
+                       intersector="pallas").for_scene(scene)
+    bp = probe_band_pops(scene, cam, cfg, grad_bands=4)
+    assert len(bp) == 4 and min(bp) >= 1
+    target = jnp.zeros((24, 32, 3), jnp.float32)
+    p = extract_params(scene.replace(color=scene.color * 0.9))
+    full = banded_value_and_grad(scene, cam, cfg, grad_bands=4)(p, target)
+    cut = banded_value_and_grad(scene, cam, cfg, grad_bands=4,
+                                band_pops=bp)(p, target)
+    np.testing.assert_allclose(float(full[0]), float(cut[0]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(full[1]),
+                    jax.tree_util.tree_leaves(cut[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+
+
+def test_grad_finite_with_negative_trained_color():
+    """Regression (round 5): sqrt(maximum(x, 0)) backward is inf * 0 = NaN
+    wherever a trained color drives a sample's accumulated channel
+    negative — adam walked colors negative 5 steps into recovery and the
+    NaN poisoned the optimizer state.  Diff-mode finalize floors the gamma
+    at 1e-12 so the clamped branch's gradient is an exact 0."""
+    import jax.numpy as jnp
+
+    from raytracing_tests_tpu.diff import banded_value_and_grad, extract_params
+
+    scene, cam = examples.iow_final_scene(side=4)
+    cfg = RenderConfig(width=32, height=24, spp=2, max_bounces=6,
+                       intersector="pallas").for_scene(scene)
+    col = np.asarray(scene.color).copy()
+    col[1:6] = -0.05  # well outside the physical domain, as training drifts
+    pert = scene.replace(color=col.astype(np.float32))
+    p = extract_params(pert)
+    target = jnp.zeros((24, 32, 3), jnp.float32)
+    loss, g = banded_value_and_grad(pert, cam, cfg, grad_bands=2)(p, target)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(g):
+        arr = np.asarray(leaf)
+        if np.issubdtype(arr.dtype, np.floating):
+            assert np.isfinite(arr).all()
