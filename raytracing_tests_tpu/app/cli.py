@@ -151,6 +151,7 @@ def _cmd_train(args):
     step = make_train_step(
         perturbed, camera, cfg, opt, mesh=mesh,
         grad_bands=args.grad_bands,
+        auto_pops=args.auto_pops,
         trainable=params_mask(perturbed, *fields)
     )
     st = TrainState.create(perturbed, opt)
@@ -276,6 +277,11 @@ def main(argv=None):
         "--grad-bands", type=int, default=1,
         help="accumulate gradients over N image row bands (exact; 1/N the "
              "backward's peak memory — for full-resolution frames)")
+    pt.add_argument(
+        "--auto-pops", action="store_true",
+        help="probe each band's true max ray-tree depth and cut the "
+        "reverse-mode scan to it (exact; ~1.3x the step on deep-budget "
+        "configs; needs --grad-bands > 1)")
     pt.add_argument(
         "--soft-edges", type=float, default=0.0,
         help="edge-aware gradient band (~0.03 recommended when training "
