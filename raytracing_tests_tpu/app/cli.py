@@ -69,6 +69,10 @@ def _cmd_render(args):
 
         kw["mesh"] = make_mesh(args.mesh)
     if args.texture:
+        if args.workload != "texturing-image":
+            raise SystemExit(
+                "--texture is only supported by the texturing-image "
+                f"workload (got {args.workload!r})")
         kw["texture"] = args.texture
         kw["texture_mapping"] = args.texture_mapping
     if args.progressive:

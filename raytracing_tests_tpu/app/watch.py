@@ -85,7 +85,9 @@ def watch(
     """Poll ``params_path``; re-render ``workload`` on each change.
 
     ``max_renders`` bounds the loop for scripted use (None = run until
-    interrupted).  Returns the number of successful renders.
+    interrupted): the loop exits after that many PROCESSED params-file
+    changes — rejected params count, so a persistently-broken file cannot
+    hang a scripted caller.  Returns the number of successful renders.
     """
     from raytracing_tests_tpu.models import get_workload
     from raytracing_tests_tpu.ops.render import render_jit, extract_lights
@@ -99,8 +101,9 @@ def watch(
         np.asarray(scene0.emissive).any())
 
     renders = 0
+    changes = 0
     last_mtime = None
-    while max_renders is None or renders < max_renders:
+    while max_renders is None or changes < max_renders:
         try:
             mtime = os.stat(params_path).st_mtime_ns
         except FileNotFoundError:
@@ -109,6 +112,7 @@ def watch(
             time.sleep(interval_s)
             continue
         last_mtime = mtime
+        changes += 1
         try:
             params = load_params(params_path) if mtime is not None else {}
             scene, camera, cfg = apply_params(scene0, camera0, cfg0, params)

@@ -297,6 +297,10 @@ def make_train_step(
     probed scene (the cut steps only pop empty queues), ~1.7x the
     gradient step at depth 8 (``probe_max_pops``).
     """
+    if auto_pops and grad_bands <= 1:
+        raise ValueError(
+            "auto_pops requires grad_bands > 1 (the probed scan depths "
+            "are per row band; pass e.g. grad_bands=8)")
     if grad_bands > 1:
         assert mesh is None, "grad_bands composes with single-device only"
         band_pops = None

@@ -804,13 +804,15 @@ def probe_relevant_rows(scene, margin: float = 4e-3):
     amplitudes — centers sweep [c - dp, c]); generic scenes use the
     conservative world-AABB gap.  Training keeps the full table (traced
     scenes return None): optimization can move objects into contact."""
-    ck = id(scene.position)
     deps = _probe_cache_deps(scene)
+    # Key on EVERY dep's id (not just position): scene.replace() variants
+    # share the position array, and a single-slot-per-position key made
+    # alternating variants evict each other every call (round-5 review).
+    ck = tuple(map(id, deps)) + (margin,)
     hit_c = _PROBE_CACHE.get(ck)
-    if (hit_c is not None and hit_c[1] == margin
-            and len(hit_c[0]) == len(deps)
+    if (hit_c is not None
             and all(a is b for a, b in zip(hit_c[0], deps))):
-        return hit_c[2]
+        return hit_c[1]
     try:
         valid = np.asarray(scene.valid)
         dmask = valid & (np.asarray(scene.refractive_index) != 1.0)
@@ -853,7 +855,7 @@ def probe_relevant_rows(scene, margin: float = 4e-3):
         return None
     if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
         _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
-    _PROBE_CACHE[ck] = (deps, margin, mask)
+    _PROBE_CACHE[ck] = (deps, mask)
     return mask
 
 

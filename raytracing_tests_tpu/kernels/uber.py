@@ -680,6 +680,30 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
     return kernel
 
 
+def _camera_statics(camera, cfg):
+    """Static raygen switches shared by render_uber and the sharded path
+    (a silent default in one of them would render a DIFFERENT image than
+    the other): (n_focus, aa jitter tables, is_ortho).
+
+    LIMITATION: a fully-traced camera (inside a jit) cannot be classified
+    at trace time — ortho_height-as-tracer is treated as perspective, so
+    traced ORTHOGRAPHIC cameras must take the queue renderer."""
+    n_focus = camera.focus_dist.shape[0]
+    assert n_focus <= 7, "uber path: K <= 7 focus dists (CAM_LEN tail)"
+    aa = None
+    if cfg.aa_grid:
+        from raytracing_tests_tpu.core.sampling import supersample_grid_offsets
+
+        cells, grid = supersample_grid_offsets(cfg.spp)
+        aa = (tuple((float(c[0]) + 0.5) / grid - 0.5 for c in cells),
+              tuple((float(c[1]) + 0.5) / grid - 0.5 for c in cells))
+    oh_ = camera.ortho_height
+    is_ortho = (not isinstance(oh_, jax.core.Tracer)) and float(oh_) > 0.0
+    if isinstance(oh_, jax.core.Tracer):
+        _assert_perspective(camera)
+    return n_focus, aa, is_ortho
+
+
 def _assert_perspective(camera):
     """The in-kernel raygen implements the perspective path only
     (orthographic cameras take the queue renderer).  Trace-safe: skipped
@@ -854,8 +878,6 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     result; see docs/PERFORMANCE.md."""
     import dataclasses
 
-    from raytracing_tests_tpu.ops.render import finalize
-
     if qcap is not None and qcap != cfg.queue_capacity:
         cfg = dataclasses.replace(cfg, queue_capacity=qcap)
 
@@ -863,22 +885,7 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     if cfg.shading == "materials":
         assert lights is None, "materials shading: no emissive lights"
     assert not cfg.show_normals
-    n_focus = camera.focus_dist.shape[0]  # multi-focus: fd[s % K] in raygen
-    assert n_focus <= 7, "uber path: K <= 7 focus dists (CAM_LEN tail)"
-    # aa_grid: static per-sample jitter table baked into raygen (IOW-02).
-    aa = None
-    if cfg.aa_grid:
-        from raytracing_tests_tpu.core.sampling import supersample_grid_offsets
-
-        cells, grid = supersample_grid_offsets(cfg.spp)
-        aa = (tuple((float(c[0]) + 0.5) / grid - 0.5 for c in cells),
-              tuple((float(c[1]) + 0.5) / grid - 0.5 for c in cells))
-    # Orthographic: static trace-time branch (concrete cameras only; a
-    # traced ortho camera must take the queue renderer).
-    oh_ = camera.ortho_height
-    is_ortho = (not isinstance(oh_, jax.core.Tracer)) and float(oh_) > 0.0
-    if isinstance(oh_, jax.core.Tracer):
-        _assert_perspective(camera)
+    n_focus, aa, is_ortho = _camera_statics(camera, cfg)
     lts, n_lights = pack_lights(lights)
     if scene.textures is not None:
         from raytracing_tests_tpu.kernels.texture import pack_atlas
@@ -935,14 +942,16 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
     # dispatches total (kernel + fused epilogue); any replace()d scene or
     # moved camera misses the cache and repacks, so mutation stays exactly
     # as the reference's rebuild-on-change (base.h:106-144).
-    ck = (id(scene.position), id(camera.position), gr, cfg.has_motion,
-          cfg.pallas_mode, probe_rows)
     deps = (tuple(jax.tree_util.tree_leaves(scene))
             + tuple(jax.tree_util.tree_leaves(camera)))
+    # Key on every dep's id so scene/camera VARIANTS coexist in the cache
+    # instead of evicting each other (round-5 review).
+    ck = tuple(map(id, deps)) + (gr, cfg.has_motion, cfg.pallas_mode,
+                                 probe_rows)
     if any(isinstance(x, jax.core.Tracer) for x in deps):
         ck = None  # traced build (jit'd caller): never cache tracers
     hit_c = _ACCEL_CACHE.get(ck)
-    if (hit_c is not None and len(hit_c[0]) == len(deps)
+    if (hit_c is not None
             and all(a is b for a, b in zip(hit_c[0], deps))):
         accel, cam = hit_c[1], hit_c[2]
     else:
@@ -985,6 +994,8 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
                        rot_stride=rot_stride, aa=aa,
                        is_ortho=is_ortho,
                        ablate=(_env_ablate() if ablate is None
+                               else frozenset(ablate.split(","))
+                               if isinstance(ablate, str)
                                else frozenset(ablate)), hot=hot,
                        stage=stage)
 

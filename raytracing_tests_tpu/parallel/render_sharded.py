@@ -125,21 +125,12 @@ def render_uber_sharded(
     if cfg.shading == "materials":
         assert lights is None, "materials shading: no emissive lights"
     # Camera features ride the same static raygen switches as the
-    # single-device render_uber (a silent default here would render a
-    # DIFFERENT image than the path it mirrors).
-    n_focus = camera.focus_dist.shape[0]
-    assert n_focus <= 7, "uber path: K <= 7 focus dists (CAM_LEN tail)"
-    aa = None
-    if cfg.aa_grid:
-        from raytracing_tests_tpu.core.sampling import supersample_grid_offsets
+    # single-device render_uber, via the shared helper (a silent default
+    # here would render a DIFFERENT image than the path it mirrors; see
+    # _camera_statics for the traced-ortho limitation).
+    from raytracing_tests_tpu.kernels.uber import _camera_statics
 
-        cells, grid = supersample_grid_offsets(cfg.spp)
-        aa = (tuple((float(c[0]) + 0.5) / grid - 0.5 for c in cells),
-              tuple((float(c[1]) + 0.5) / grid - 0.5 for c in cells))
-    oh_ = camera.ortho_height
-    is_ortho = (not isinstance(oh_, jax.core.Tracer)) and float(oh_) > 0.0
-    if isinstance(oh_, jax.core.Tracer):
-        _assert_perspective(camera)
+    n_focus, aa, is_ortho = _camera_statics(camera, cfg)
     lts, n_lights = pack_lights(lights)
     if scene.textures is not None:
         from raytracing_tests_tpu.kernels.texture import pack_atlas

@@ -142,8 +142,8 @@ def texturing_image_scene(tex_size: int = 64, texture: str = None,
         H, W = atlas_from_merc.shape[:2]  # dice atlas must share the shape
     else:
         H, W = tex_size, 2 * tex_size
-    v, u = np.meshgrid(np.arange(H) / H, np.arange(W) / W, indexing="ij")
     if texture is None:
+        v, u = np.meshgrid(np.arange(H) / H, np.arange(W) / W, indexing="ij")
         continents = (np.sin(u * 11.0) * np.cos(v * 7.0 + u * 3.0) + np.sin(v * 5.0)) > 0.35
         merc = np.where(
             continents[..., None],
@@ -155,10 +155,10 @@ def texturing_image_scene(tex_size: int = 64, texture: str = None,
     # dice-style cubic atlas: face index painted as brightness + pip color
     fw = W // 6
     dice = np.zeros((H, W, 3), np.float32)
-    for f in range(6):
+    yy, xx = np.mgrid[0:H, 0:W]  # hoisted: a 4k-wide --texture atlas would
+    for f in range(6):           # otherwise allocate 2 index planes x 6
         dice[:, f * fw : (f + 1) * fw] = 0.15 + 0.14 * f
         cx, cy = f * fw + fw // 2, H // 2
-        yy, xx = np.mgrid[0:H, 0:W]
         pip = (xx - cx) ** 2 + (yy - cy) ** 2 < (fw // 5) ** 2
         dice[pip] = (0.9, 0.1, 0.1)
 
