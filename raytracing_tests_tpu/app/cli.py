@@ -230,7 +230,23 @@ def _cmd_bench(args):
     runpy.run_path(os.path.join(os.path.dirname(__file__), "../../bench.py"), run_name="__main__")
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (same dir as bench.py): a cold
+    Pallas compile through the TPU tunnel costs 50-250 s (PERFORMANCE.md
+    fact 6) — without this every CLI invocation re-pays it."""
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/jax_comp")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None):
+    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="raytracing_tests_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -252,10 +252,16 @@ class SceneBuilder:
 
         rot = np.zeros((cap, 3, 3), np.float32)
         rot[:] = np.eye(3)
-        for i, o in enumerate(self._objs):
-            rot[i] = np.asarray(
-                linalg.rotation_from_euler(jnp.asarray(o.rotation_deg, jnp.float32))
-            )
+        degs = np.array([o.rotation_deg for o in self._objs], np.float32)
+        if degs.any():
+            # ONE batched device call: the old per-object
+            # rotation_from_euler round-trip cost ~80 ms of tunnel
+            # dispatch per object (a 488-sphere scene took 39 s to BUILD
+            # — round-5 find).  rotation_from_euler is batch-polymorphic,
+            # so per-element results are the same backend cos/sin/matmul.
+            rot[:n] = np.asarray(
+                linalg.rotation_from_euler(jnp.asarray(degs)))
+        # all-identity scenes never touch the device here
 
         textures = None
         if self._textures:
