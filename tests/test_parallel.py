@@ -142,3 +142,48 @@ def test_uber_sharded_lights_and_textures():
     np.testing.assert_allclose(
         np.asarray(single["image"]), np.asarray(sharded["image"]), atol=2e-6)
     assert int(single["rays"]) == int(sharded["rays"])
+
+
+def test_uber_sharded_camera_features_match_single():
+    """Round-5 advisor regression: the sharded persistent kernel must ride
+    the SAME static raygen switches as the single-device path for aa_grid
+    supersampling, multi-focus cameras, and orthographic cameras — a
+    silent default rendered a different image with no error."""
+    import dataclasses
+
+    import numpy as np
+
+    from raytracing_tests_tpu.kernels.uber import render_uber
+    from raytracing_tests_tpu.ops.render import RenderConfig
+    from raytracing_tests_tpu.parallel.render_sharded import render_uber_sharded
+    from raytracing_tests_tpu.scene import examples
+
+    scene, cam = examples.iow_final_scene(side=4)
+    mesh = make_mesh(4)
+    base = RenderConfig(width=32, height=24, spp=4, max_bounces=4,
+                        intersector="pallas").for_scene(scene)
+
+    # aa_grid: grid jitter instead of DOF sampling.
+    cfg = dataclasses.replace(base, aa_grid=True)
+    single = render_uber(scene, cam, cfg, L=256, R=4, gr=64)
+    shard = render_uber_sharded(scene, cam, cfg, mesh, L=256, R=4, gr=64)
+    np.testing.assert_allclose(np.asarray(single["image"]),
+                               np.asarray(shard["image"]), atol=2e-6)
+
+    # multi-focus: K=3 focus distances cycle over samples.
+    cam_mf = examples.Camera.make(
+        np.asarray(cam.position), np.asarray(cam.direction),
+        fov_y_deg=30.0, aperture=0.1, focus_dist=[6.0, 10.0, 14.0])
+    single = render_uber(scene, cam_mf, base, L=256, R=4, gr=64)
+    shard = render_uber_sharded(scene, cam_mf, base, mesh, L=256, R=4,
+                                gr=64)
+    np.testing.assert_allclose(np.asarray(single["image"]),
+                               np.asarray(shard["image"]), atol=2e-6)
+
+    # orthographic camera.
+    cam_o = examples.Camera.orthographic((0.0, 1.0, 4.0), (0.0, -0.2, -1.0),
+                                         height=6.0)
+    single = render_uber(scene, cam_o, base, L=256, R=4, gr=64)
+    shard = render_uber_sharded(scene, cam_o, base, mesh, L=256, R=4, gr=64)
+    np.testing.assert_allclose(np.asarray(single["image"]),
+                               np.asarray(shard["image"]), atol=2e-6)
