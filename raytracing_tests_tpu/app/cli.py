@@ -246,7 +246,6 @@ def _enable_compile_cache():
 
 
 def main(argv=None):
-    _enable_compile_cache()
     p = argparse.ArgumentParser(prog="raytracing_tests_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -324,12 +323,15 @@ def main(argv=None):
     pw.add_argument("--interval", type=float, default=0.5,
                     help="poll interval seconds")
     pw.add_argument("--max-renders", type=int,
-                    help="stop after N successful renders (default: forever)")
+                    help="stop after N processed params-file changes "
+                    "(rejected params count; default: run forever)")
     pw.add_argument("--width", type=int)
     pw.add_argument("--height", type=int)
     pw.add_argument("--spp", type=int)
 
     args = p.parse_args(argv)
+    if args.cmd in ("render", "train", "watch", "bench"):
+        _enable_compile_cache()  # list/info/--help skip the jax config
     {
         "list": _cmd_list,
         "info": _cmd_info,

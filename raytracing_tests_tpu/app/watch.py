@@ -102,9 +102,9 @@ def watch(
 
     renders = 0
     changes = 0
-    last_mtime = None
-    while max_renders is None or changes < max_renders:
-        try:
+    last_mtime = object()  # sentinel: the FIRST poll always processes,
+    while max_renders is None or changes < max_renders:  # even if the
+        try:                                             # file is missing
             mtime = os.stat(params_path).st_mtime_ns
         except FileNotFoundError:
             mtime = None

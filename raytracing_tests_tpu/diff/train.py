@@ -291,33 +291,39 @@ def make_train_step(
     backward's peak memory — required for BASELINE-scale frames on one
     chip (single-device only).
 
-    ``auto_pops`` (banded only): probe the scene's true max ray-tree
-    depth with the early-exit forward and run the reverse-mode scan at
-    that length instead of the full ``cfg.pops`` budget — exact for the
-    probed scene (the cut steps only pop empty queues), ~1.7x the
-    gradient step at depth 8 (``probe_max_pops``).
+    ``auto_pops`` (banded only): probe each band's true max ray-tree
+    depth with the early-exit forward and run the reverse-mode scans at
+    those lengths instead of the full ``cfg.pops`` budget — exact for the
+    probed scene (the cut steps only pop empty queues), ~1.3x the
+    gradient step at depth 8 (``probe_band_pops``).  Training can DEEPEN
+    trees (e.g. a zero-reflectivity object turning reflective opens
+    spawn gates the probe saw closed), which would silently truncate the
+    cut scans — so the returned step RE-PROBES the current params every
+    ``reprobe_every`` (25) steps and rebuilds the bucketed scans when any
+    band's depth grows past its margin (a host-side retrace, ~once per
+    topology change).
     """
     if auto_pops and grad_bands <= 1:
         raise ValueError(
             "auto_pops requires grad_bands > 1 (the probed scan depths "
             "are per row band; pass e.g. grad_bands=8)")
+    vg = None
     if grad_bands > 1:
         assert mesh is None, "grad_bands composes with single-device only"
         band_pops = None
         if auto_pops:
-            # Probed per-band scan depths + 2-step margin for training
-            # drift (scene edits can deepen trees slightly; a topology
-            # change warrants a fresh make_train_step).
+            # Probed per-band scan depths + 2-step margin (see docstring).
             band_pops = [p + 2 for p in probe_band_pops(
                 template, camera, cfg, grad_bands, lights)]
         vg = banded_value_and_grad(template, camera, cfg, lights,
                                    grad_bands=grad_bands,
                                    band_pops=band_pops)
+    vg_box = [vg]  # re-probe (auto_pops) swaps the closure in place
 
     @jax.jit
     def step(state: TrainState, target):
         if grad_bands > 1:
-            loss, grads = vg(state.params, target)
+            loss, grads = vg_box[0](state.params, target)
         else:
             loss, grads = jax.value_and_grad(render_loss)(
                 state.params, template, camera, cfg, target, mesh, lights
@@ -333,4 +339,28 @@ def make_train_step(
             loss,
         )
 
-    return step
+    if not auto_pops:
+        return step
+
+    reprobe_every = 25
+    pops_state = {"band_pops": band_pops, "since": 0}
+
+    def step_with_reprobe(state: TrainState, target):
+        pops_state["since"] += 1
+        if pops_state["since"] >= reprobe_every:
+            pops_state["since"] = 0
+            scene_now = apply_params(template, state.params)
+            fresh = probe_band_pops(scene_now, camera, cfg, grad_bands,
+                                    lights)
+            if any(f > b for f, b in zip(fresh, pops_state["band_pops"])):
+                # A band's tree outgrew its margin: rebuild the bucketed
+                # scans (one retrace) before it silently truncates.
+                pops_state["band_pops"] = [p + 2 for p in fresh]
+                vg_box[0] = banded_value_and_grad(
+                    template, camera, cfg, lights, grad_bands=grad_bands,
+                    band_pops=pops_state["band_pops"])
+                step.clear_cache()
+        return step(state, target)
+
+    step_with_reprobe.pops_state = pops_state  # test/introspection hook
+    return step_with_reprobe

@@ -680,6 +680,55 @@ def _uber_kernel(*, R, W, H, spp, max_bounces, t_max, bg_bottom, bg_top,
     return kernel
 
 
+def _scene_accel(scene, camera, cfg, gr):
+    """Probe-cut + accel build + default camera pack, identity-cached.
+
+    The probe cut (``sweep2.probe_relevant_rows``) trims the surrounding-RI
+    sub-table to rows that can actually answer (see its docstring for the
+    reflect-epsilon and camera-in-air caveats; ``cfg.probe_rows == -1``
+    keeps the full table, ``0`` disables the probe).  All packing runs
+    EAGERLY — through the tunnel every eager op is a ~ms-scale dispatch,
+    and a static scene repacked per frame was a large share of short
+    frames (PERFORMANCE.md fact 45) — so results are cached keyed on the
+    identity of every scene/camera array (variants coexist; a replace()d
+    scene or moved camera repacks, the reference's rebuild-on-change,
+    ``base.h:106-144``).  Shared by ``render_uber`` and the mesh-sharded
+    path (which packs its own per-device camera and ignores ``cam``)."""
+    from raytracing_tests_tpu.kernels.sweep2 import probe_relevant_rows
+
+    probe_rows, probe_mask = cfg.probe_rows, None
+    if probe_rows > 0:
+        probe_mask = probe_relevant_rows(scene)
+        if probe_mask is not None:
+            probe_rows = int(probe_mask.sum())
+    deps = (tuple(jax.tree_util.tree_leaves(scene))
+            + tuple(jax.tree_util.tree_leaves(camera)))
+    ck = tuple(map(id, deps)) + (gr, cfg.has_motion, cfg.pallas_mode,
+                                 probe_rows)
+    if any(isinstance(x, jax.core.Tracer) for x in deps):
+        ck = None  # traced build (jit'd caller): never cache tracers
+    hit_c = _ACCEL_CACHE.get(ck)
+    if (hit_c is not None
+            and all(a is b for a, b in zip(hit_c[0], deps))):
+        return hit_c[1], hit_c[2]
+    if cfg.pallas_mode == "spheres":
+        accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
+                            sort_origin=camera.position,
+                            probe_rows=probe_rows, probe_mask=probe_mask)
+    else:
+        from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
+
+        accel = make_accel2g(scene, gr=gr, has_motion=cfg.has_motion,
+                             sort_origin=camera.position,
+                             probe_rows=probe_rows, probe_mask=probe_mask)
+    cam = pack_camera(camera)
+    if ck is not None:
+        if len(_ACCEL_CACHE) >= 8:
+            _ACCEL_CACHE.pop(next(iter(_ACCEL_CACHE)))
+        _ACCEL_CACHE[ck] = (deps, accel, cam)
+    return accel, cam
+
+
 def _camera_statics(camera, cfg):
     """Static raygen switches shared by render_uber and the sharded path
     (a silent default in one of them would render a DIFFERENT image than
@@ -721,7 +770,7 @@ def pack_lights(lights):
     dispatch otherwise (fact 45)."""
     if lights is None:
         return None, 0
-    lk = id(lights.mask)
+    lk = (id(lights.mask), id(lights.bb_min), id(lights.bb_max))
     hit = _LIGHTS_CACHE.get(lk)
     if (hit is not None and hit[0][0] is lights.mask
             and hit[0][1] is lights.bb_min and hit[0][2] is lights.bb_max):
@@ -896,9 +945,10 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
             tex3, tex_meta = hit_t[1], hit_t[2]
         else:
             tex3, tex_meta = pack_atlas(scene.textures)
-            if len(_ATLAS_CACHE) >= 4:
-                _ATLAS_CACHE.pop(next(iter(_ATLAS_CACHE)))
-            _ATLAS_CACHE[tk] = (scene.textures, tex3, tex_meta)
+            if not isinstance(scene.textures, jax.core.Tracer):
+                if len(_ATLAS_CACHE) >= 4:
+                    _ATLAS_CACHE.pop(next(iter(_ATLAS_CACHE)))
+                _ATLAS_CACHE[tk] = (scene.textures, tex3, tex_meta)
     else:
         tex3, tex_meta = None, None
     # Small scenes: clamp the group size to the (static) capacity — a
@@ -917,61 +967,7 @@ def render_uber(scene, camera, cfg, lights=None, L: int = 2048, R: int = 32,
         tw, th = tile
         assert order == "sample" and W % tw == 0 and H % th == 0, (
             tile, W, H, order)
-    # Cut the surrounding-RI probe table to the rows that can actually
-    # contain a probe point (sweep2.probe_relevant_rows — a conservative
-    # consumer-reachability cut; see its docstring for the reflect-epsilon
-    # and camera-in-air caveats.  The full ri != 1 table was 61 groups on
-    # the headline scene, of which ~3 can ever answer).  Traced scenes
-    # keep everything.
-    from raytracing_tests_tpu.kernels.sweep2 import probe_relevant_rows
-
-    probe_rows, probe_mask = cfg.probe_rows, None
-    if probe_rows > 0:
-        # probe_rows == -1 is the documented FULL-TABLE opt-out (scenes
-        # where the camera starts inside a dielectric — see the
-        # probe_relevant_rows camera-in-air caveat): keep every ri != 1
-        # row, skip the reachability cut.  probe_rows == 0 disables the
-        # probe entirely; only the positive for_scene count takes the cut.
-        probe_mask = probe_relevant_rows(scene)
-        if probe_mask is not None:
-            probe_rows = int(probe_mask.sum())
-    # Accel/camera/atlas packing runs EAGERLY — through the tunnel every
-    # eager op is a ~ms-scale dispatch, and a static scene repacked per
-    # frame was a large share of short frames (round 5, with the eager
-    # epilogue).  Identity-keyed result caches make repeat frames two
-    # dispatches total (kernel + fused epilogue); any replace()d scene or
-    # moved camera misses the cache and repacks, so mutation stays exactly
-    # as the reference's rebuild-on-change (base.h:106-144).
-    deps = (tuple(jax.tree_util.tree_leaves(scene))
-            + tuple(jax.tree_util.tree_leaves(camera)))
-    # Key on every dep's id so scene/camera VARIANTS coexist in the cache
-    # instead of evicting each other (round-5 review).
-    ck = tuple(map(id, deps)) + (gr, cfg.has_motion, cfg.pallas_mode,
-                                 probe_rows)
-    if any(isinstance(x, jax.core.Tracer) for x in deps):
-        ck = None  # traced build (jit'd caller): never cache tracers
-    hit_c = _ACCEL_CACHE.get(ck)
-    if (hit_c is not None
-            and all(a is b for a, b in zip(hit_c[0], deps))):
-        accel, cam = hit_c[1], hit_c[2]
-    else:
-        if cfg.pallas_mode == "spheres":
-            accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
-                                sort_origin=camera.position,
-                                probe_rows=probe_rows,
-                                probe_mask=probe_mask)
-        else:
-            from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
-
-            accel = make_accel2g(scene, gr=gr, has_motion=cfg.has_motion,
-                                 sort_origin=camera.position,
-                                 probe_rows=probe_rows,
-                                 probe_mask=probe_mask)
-        cam = pack_camera(camera)
-        if ck is not None:
-            if len(_ACCEL_CACHE) >= 8:
-                _ACCEL_CACHE.pop(next(iter(_ACCEL_CACHE)))
-            _ACCEL_CACHE[ck] = (deps, accel, cam)
+    accel, cam = _scene_accel(scene, camera, cfg, gr)
     # Per-round lane rotation (see pof): decorrelates lanes from image
     # columns so no lane is pinned to an expensive column family every
     # round (lights drain x1.78 -> ~1.1).  Bijective within each round —

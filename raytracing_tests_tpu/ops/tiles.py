@@ -28,6 +28,24 @@ from raytracing_tests_tpu.ops.render import (
 from raytracing_tests_tpu.scene.types import Camera, Scene
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _tile_trace(scene, lights, cfg, o, d, tr, si, accel):
+    """One jitted tile program, MODULE-LEVEL so its jit cache survives
+    across render_progressive calls (recompiled per distinct edge-tile
+    shape only) — the eager per-tile trace paid a tunneled dispatch per
+    op (PERFORMANCE.md fact 45)."""
+    color, _, _, _ = trace_lanes(scene, lights, cfg, o, d, tr, si, accel)
+    S = cfg.spp
+    hw = o.shape[0] // S
+    return jnp.mean(
+        jnp.sqrt(jnp.maximum(color.reshape(hw, S, 3), 0.0)), axis=1)
+
+
 def spiral_tile_order(nx: int, ny: int) -> np.ndarray:
     """Tile indices (k, 2) spiraling outward from the grid center.
 
@@ -72,19 +90,6 @@ def render_progressive(
     time_ratio = time_ratio.reshape(H, W, S)
     sample_idx = sample_idx.reshape(H, W, S)
 
-    # One jitted tile program (recompiled per distinct edge-tile shape):
-    # the eager per-tile trace paid a tunneled dispatch per op (the same
-    # host-dispatch tax as PERFORMANCE.md fact 45).
-    import jax
-
-    @jax.jit
-    def _tile(scene_, lights_, o_, d_, tr_, si_, accel_):
-        color, _, _, _ = trace_lanes(
-            scene_, lights_, cfg, o_, d_, tr_, si_, accel_)
-        hw = o_.shape[0] // S
-        return jnp.mean(
-            jnp.sqrt(jnp.maximum(color.reshape(hw, S, 3), 0.0)), axis=1)
-
     canvas = np.zeros((H, W, 3), np.float32)
     done = 0
     for batch_start in range(0, len(order), tiles_per_step):
@@ -93,8 +98,9 @@ def render_progressive(
             x1, y1 = min(x0 + tw, W), min(y0 + th, H)
             hh, ww = y1 - y0, x1 - x0
             flat = lambda a: a[y0:y1, x0:x1].reshape(hh * ww * S, *a.shape[3:])
-            tile_img = _tile(scene, lights, flat(o), flat(d),
-                             flat(time_ratio), flat(sample_idx), accel)
+            tile_img = _tile_trace(scene, lights, cfg, flat(o), flat(d),
+                                   flat(time_ratio), flat(sample_idx),
+                                   accel)
             canvas[y0:y1, x0:x1] = np.asarray(tile_img).reshape(hh, ww, 3)
             done += 1
         yield {"image": canvas.copy(), "done_fraction": done / (nx * ny)}

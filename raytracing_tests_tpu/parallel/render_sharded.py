@@ -118,8 +118,7 @@ def render_uber_sharded(
     import dataclasses
 
     from raytracing_tests_tpu.kernels.uber import (
-        _assert_perspective, _uber_call, make_accel2, pack_camera,
-        pack_lights)
+        _camera_statics, _scene_accel, _uber_call, pack_camera, pack_lights)
 
     assert cfg.shading in ("bvh", "materials"), cfg.shading
     if cfg.shading == "materials":
@@ -128,8 +127,6 @@ def render_uber_sharded(
     # single-device render_uber, via the shared helper (a silent default
     # here would render a DIFFERENT image than the path it mirrors; see
     # _camera_statics for the traced-ortho limitation).
-    from raytracing_tests_tpu.kernels.uber import _camera_statics
-
     n_focus, aa, is_ortho = _camera_statics(camera, cfg)
     lts, n_lights = pack_lights(lights)
     if scene.textures is not None:
@@ -145,16 +142,9 @@ def render_uber_sharded(
     Hp = h * n
     shard_cfg = dataclasses.replace(cfg, height=h)
     B_shard = h * W * S
-    if cfg.pallas_mode == "spheres":
-        accel = make_accel2(scene, gr=gr, has_motion=cfg.has_motion,
-                            sort_origin=camera.position,
-                            probe_rows=cfg.probe_rows)
-    else:
-        from raytracing_tests_tpu.kernels.sweep2g import make_accel2g
-
-        accel = make_accel2g(scene, gr=gr, has_motion=cfg.has_motion,
-                             sort_origin=camera.position,
-                             probe_rows=cfg.probe_rows)
+    # Shared probe-cut + identity-cached accel build (fact 45; the
+    # per-device camera is packed inside the shard_map instead).
+    accel, _ = _scene_accel(scene, camera, cfg, gr)
 
     if lts is None:
         lts = jnp.zeros((1, 8), jnp.float32)

@@ -436,3 +436,53 @@ def test_grad_finite_with_negative_trained_color():
         arr = np.asarray(leaf)
         if np.issubdtype(arr.dtype, np.floating):
             assert np.isfinite(arr).all()
+
+
+def test_auto_pops_reprobes_when_trees_deepen():
+    """Round-5 review: parameter drift can DEEPEN ray trees past the
+    probed scan depths — the auto_pops step must re-probe on its cadence
+    and rebuild its bucketed scans instead of silently truncating
+    gradients.  (Driven by swapping in deep-scene params mid-training:
+    gradient flow cannot open a closed spawn gate from exactly 0, but
+    checkpoint restores / manual edits / positional drift can.)"""
+    import optax
+
+    from raytracing_tests_tpu.diff import (TrainState, extract_params,
+                                           make_train_step, params_mask)
+    from raytracing_tests_tpu.ops.render import render
+    from raytracing_tests_tpu.scene.types import Camera, SceneBuilder
+
+    def build(refl):
+        b = SceneBuilder()
+        b.add_sphere((0.0, 0.0, -3.0), 1.0, color=(0.8, 0.3, 0.3),
+                     reflectivity=refl, scatter_reflect=0.0)
+        b.add_box((0.0, -101.0, 0.0), (400.0, 200.0, 400.0),
+                  color=(0.4, 0.8, 0.4), reflectivity=refl,
+                  scatter_reflect=0.0)
+        return b.build()
+
+    cam = Camera.make((0.0, 0.5, 2.0), (0.0, -0.1, -1.0), fov_y_deg=60.0,
+                      focus_dist=5.0)
+    pert = build(0.0)  # shallow trees: probe sees depth ~1
+    cfg = RenderConfig(width=24, height=16, spp=1, max_bounces=6,
+                       intersector="pallas").for_scene(build(0.9))
+    target = render(build(0.9), cam, cfg)["image"]
+    step = make_train_step(pert, cam, cfg, optax.adam(1e-2), grad_bands=2,
+                           auto_pops=True,
+                           trainable=params_mask(pert, "color"))
+    pops0 = list(step.pops_state["band_pops"])
+    assert max(pops0) <= 4  # zero-reflectivity probe sees shallow trees
+    st = TrainState.create(pert, optax.adam(1e-2))
+    for k in range(24):
+        st, l = step(st, target)
+        assert np.isfinite(float(l))
+    # Drift the params to a DEEP-tree regime (mirror world) — e.g. a
+    # checkpoint restore or a manual edit mid-run.
+    st = TrainState(params=extract_params(build(0.9)),
+                    opt_state=st.opt_state, step=st.step)
+    st, l = step(st, target)  # step 25: the re-probe cadence fires
+    assert np.isfinite(float(l))
+    assert max(step.pops_state["band_pops"]) > max(pops0), (
+        pops0, step.pops_state["band_pops"])
+    st, l = step(st, target)  # and the rebuilt scans keep working
+    assert np.isfinite(float(l))
