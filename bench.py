@@ -41,8 +41,31 @@ jax.config.update(
                    os.path.expanduser("~/.cache/jax_comp")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from raytracing_tests_tpu.ops.render import RenderConfig, render_stats, extract_lights
-from raytracing_tests_tpu.scene import examples
+# The tunneled TPU occasionally flaps: backend init (triggered by the
+# first traced op during package import) raises UNAVAILABLE for minutes
+# at a time (observed round 5).  Python drops failed modules from
+# sys.modules, so a delayed re-import retries the init cleanly.
+def _transient(e) -> bool:
+    return any(m in str(e) for m in
+               ("UNAVAILABLE", "Unable to initialize backend",
+                "remote_compile", "DEADLINE_EXCEEDED"))
+
+
+for _attempt in range(4):
+    try:
+        from raytracing_tests_tpu.ops.render import (
+            RenderConfig, render_stats, extract_lights)
+        from raytracing_tests_tpu.scene import examples
+        break
+    except Exception as _e:  # noqa: PERF203
+        if not _transient(_e) or _attempt == 3:
+            raise
+        import sys as _sys
+
+        print(f"# transient backend error on import "
+              f"(attempt {_attempt + 1}/4), retrying in 120 s: "
+              f"{str(_e).splitlines()[0]}", file=_sys.stderr)
+        time.sleep(120)
 
 BASELINE_MRAYS_PER_CHIP = 62.5  # 1 Grays/s / 16 chips (BASELINE.md)
 
@@ -320,4 +343,20 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The tunneled TPU occasionally flaps (backend init raises UNAVAILABLE
+    # for minutes at a time — observed round 5).  The driver runs this
+    # once; retry the whole bench through a short outage rather than
+    # recording a weather failure as the round's artifact.
+    for _attempt in range(4):
+        try:
+            main()
+            break
+        except SystemExit:
+            raise
+        except Exception as e:
+            if not _transient(e) or _attempt == 3:
+                raise
+            print(f"# transient backend error (attempt {_attempt + 1}/4), "
+                  f"retrying in 120 s: {str(e).splitlines()[0]}",
+                  file=__import__('sys').stderr)
+            time.sleep(120)
